@@ -1,0 +1,190 @@
+"""Host-side data pipeline: batching, shuffling, threaded decode, prefetch.
+
+One coherent API replacing the reference's dispatcher + DataLoader stack
+(build_dataloader.py:11-77 — including its signature-drift bugs, SURVEY §7
+hard-part 7): ``load_dataloader(name, split, logger, config)`` returns a
+:class:`DataLoader` producing float32 NHWC numpy batches ready for
+``device_put``.
+
+Reference parity:
+
+- batch size from the ``batch_size[model][dataset]`` matrix;
+- mnist: 4000 train / 1000 val subset, train shuffle + drop_last
+  (mnist_loader.py:51-65);
+- cifar10/Oxford/InterHand subset: 10·bs train / 4·bs val
+  (cifar10_loader.py:72-81, Oxford102Flower_loader.py:71-77);
+- labels are dropped at collate (utils.py:93-100) — batches are image arrays.
+
+TPU-specific: batches are padded to a multiple of the data-mesh size by
+``drop_last`` semantics on train and tail-padding on eval;
+``prefetch_to_device`` overlaps host decode with device compute.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from ..config import Config, resolve_batch_size, resolve_img_channels, resolve_img_size
+from .datasets import (ArrayDataset, CIFAR10Dataset, InterHand26MDataset,
+                       MNISTDataset, OxfordFlowersDataset, SyntheticDataset)
+from .transforms import Preprocessor
+
+log = logging.getLogger(__name__)
+
+
+class DataLoader:
+    """Deterministic epoch iterator over an ArrayDataset.
+
+    Each ``__iter__`` shuffles with a fresh per-epoch seed (when shuffle=True),
+    decodes samples with a thread pool, and yields float32 NHWC batches.
+    """
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int,
+                 preprocess: Preprocessor, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0, num_threads: int = 4,
+                 max_samples: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.preprocess = preprocess
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        n = len(dataset)
+        self.n = min(n, max_samples) if max_samples else n
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(i: int) -> np.ndarray:
+            rng = np.random.default_rng((self.seed, self._epoch, int(i)))
+            return self.preprocess(self.dataset.get_image(int(i)), rng)
+
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            for start in range(0, self.n, self.batch_size):
+                idxs = order[start:start + self.batch_size]
+                if len(idxs) < self.batch_size and self.drop_last:
+                    break
+                yield np.stack(list(pool.map(fetch, idxs)))
+
+
+def prefetch_to_device(iterator, mesh=None, depth: int = 2):
+    """Move host batches onto the mesh ('data'-sharded) ahead of compute."""
+    import jax
+
+    from ..parallel import shard_batch
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                arr = jax.device_put(batch) if mesh is None else shard_batch(batch, mesh)
+                q.put(arr)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher (reference build_dataloader.load_dataloader)
+# ---------------------------------------------------------------------------
+
+def load_dataloader(name: Optional[str] = None, split: str = "train",
+                    logger: Optional[logging.Logger] = None,
+                    config: Optional[Config] = None,
+                    save_path: Optional[str] = None,
+                    seed: int = 0):
+    """Build (DataLoader, dataset) per the reference dispatch semantics."""
+    assert config is not None, "config is required"
+    logger = logger or log
+    name = name or config.dataset.dataset_name
+    img_size = resolve_img_size(config)
+    channels = resolve_img_channels(config)
+    batch_size = resolve_batch_size(config)
+    num_threads = int(config.trainer.get("num_workers", 4) or 1)
+    mean = list(config.dataset.mean)
+    std = list(config.dataset.std)
+    subset = bool(config.dataset.get("subset", False))
+    train = split == "train"
+    root = save_path or config.dataset.get("data_root", "data")
+
+    max_samples = None
+    augment = False
+    try:
+        if name == "mnist":
+            dataset = MNISTDataset(root, train=train)
+            prep = Preprocessor(img_size, (0.5,), (0.5,), grayscale=True)
+            max_samples = 4000 if train else 1000
+        elif name == "cifar10":
+            dataset = CIFAR10Dataset(root, train=train)
+            prep = Preprocessor(img_size, (0.1307,), (0.3081,))
+            if subset:
+                max_samples = 10 * batch_size if train else 4 * batch_size
+        elif name == "Oxford102Flower":
+            dataset = OxfordFlowersDataset(
+                config.dataset.get("data_root", root), split)
+            prep = Preprocessor(img_size, mean, std, augment=train)
+            augment = train
+            if subset:
+                max_samples = 10 * batch_size if train else 4 * batch_size
+        elif name == "InterHand26M":
+            dataset = InterHand26MDataset(
+                config.dataset.get("data_root", root), split)
+            prep = Preprocessor(img_size, mean, std, augment=train)
+            augment = train
+            if subset:
+                max_samples = 10 * batch_size if train else 4 * batch_size
+        elif name == "synthetic":
+            raise FileNotFoundError("synthetic requested explicitly")
+        else:
+            raise ValueError(f"unknown dataset {name!r}")
+    except FileNotFoundError as e:
+        if name != "synthetic":
+            logger.warning("dataset %s unavailable (%s); using synthetic fallback", name, e)
+        n = 64 * max(1, batch_size // 8) if train else 16 * max(1, batch_size // 8)
+        ms = config.dataset.get("max_train_samples" if train else "max_val_samples")
+        if isinstance(ms, (int, float)) and np.isfinite(ms):
+            n = int(ms)
+        dataset = SyntheticDataset(num_samples=max(n, batch_size), img_size=img_size,
+                                   channels=channels, seed=seed)
+        prep = Preprocessor(img_size, mean[:channels] or [0.5], std[:channels] or [0.5],
+                            augment=False, grayscale=channels == 1)
+
+    # config-level truncation (max_train_samples / max_val_samples)
+    key = "max_train_samples" if train else "max_val_samples"
+    cfg_max = config.dataset.get(key)
+    if isinstance(cfg_max, (int, float)) and np.isfinite(cfg_max):
+        max_samples = min(int(cfg_max), max_samples or int(cfg_max))
+
+    shuffle = bool(config.dataset.get("train_shuffle", True)) if train else False
+    loader = DataLoader(dataset, batch_size, prep, shuffle=shuffle,
+                        drop_last=train, seed=seed, num_threads=num_threads,
+                        max_samples=max_samples)
+    logger.info("Number of %s samples: %d (batch %d, %d batches)",
+                split, loader.n, batch_size, len(loader))
+    return loader, dataset

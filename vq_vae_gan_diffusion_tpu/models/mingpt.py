@@ -1,0 +1,212 @@
+"""minGPT-style causal transformer, TPU-native.
+
+Structural parity with reference ``network/vqTransformer/submodule/mingpt.py``:
+learned positional embedding [1, block_size, n_embd] (:128), pre-LN blocks with
+single-hidden-layer GELU MLPs (:87-113), separate q/k/v projections with bias
+and a bias-free vocab head (:42-48, :137), N(0, 0.02) weight init (:143-150).
+
+TPU re-design: the reference samples autoregressively by re-running the full
+forward on a growing prefix — O(T²·layers) with a host-side Python loop
+(vqTransformer.py:173-216, flagged as hot loop ② in SURVEY §3). Here decoding
+is a ``jax.lax.scan`` over a preallocated KV cache: one compiled program, one
+device-resident loop, O(T) per token.
+
+Tensor-parallel ready: q/k/v and MLP fc1 kernels are column-sharded and
+proj/fc2 row-sharded over the 'model' mesh axis by
+:func:`..parallel.gpt_param_sharding_rules`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_DENSE_INIT = nn.initializers.normal(stddev=0.02)
+
+
+class CausalSelfAttention(nn.Module):
+    n_head: int
+    n_embd: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dense = lambda name: nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
+                                      dtype=self.dtype, param_dtype=jnp.float32,
+                                      name=name)
+        self.query, self.key, self.value = dense("query"), dense("key"), dense("value")
+        self.proj = dense("proj")
+        self.attn_drop = nn.Dropout(self.attn_pdrop)
+        self.resid_drop = nn.Dropout(self.resid_pdrop)
+
+    def _heads(self, x: jax.Array) -> jax.Array:
+        b, t, c = x.shape
+        return x.reshape(b, t, self.n_head, c // self.n_head)
+
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        b, t, c = x.shape
+        q = self._heads(self.query(x))
+        k = self._heads(self.key(x))
+        v = self._heads(self.value(x))
+        scale = (c // self.n_head) ** -0.5
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        att = jnp.where(mask, att, -jnp.inf)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        att = self.attn_drop(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, c)
+        return self.resid_drop(self.proj(y), deterministic=deterministic)
+
+    def decode_step(self, x: jax.Array, pos: jax.Array,
+                    cache: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """One-token attention against a [B, block, H, D] KV cache."""
+        b, one, c = x.shape
+        q = self._heads(self.query(x))[:, 0]          # [B, H, D]... actually [B, H, D]
+        k_new = self._heads(self.key(x))[:, 0]
+        v_new = self._heads(self.value(x))[:, 0]
+        k_cache = jax.lax.dynamic_update_index_in_dim(cache["k"], k_new, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_index_in_dim(cache["v"], v_new, pos, axis=1)
+        scale = (c // self.n_head) ** -0.5
+        att = jnp.einsum("bhd,bkhd->bhk", q, k_cache,
+                         preferred_element_type=jnp.float32) * scale
+        block = k_cache.shape[1]
+        valid = jnp.arange(block)[None, None, :] <= pos
+        att = jnp.where(valid, att, -jnp.inf)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhk,bkhd->bhd", att, v_cache).reshape(b, 1, c)
+        return self.proj(y), {"k": k_cache, "v": v_cache}
+
+
+class Block(nn.Module):
+    n_head: int
+    n_embd: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.attn = CausalSelfAttention(self.n_head, self.n_embd, self.attn_pdrop,
+                                        self.resid_pdrop, self.dtype)
+        self.fc1 = nn.Dense(4 * self.n_embd, kernel_init=_DENSE_INIT,
+                            dtype=self.dtype, param_dtype=jnp.float32, name="fc1")
+        self.fc2 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
+                            dtype=self.dtype, param_dtype=jnp.float32, name="fc2")
+        self.drop = nn.Dropout(self.resid_pdrop)
+
+    def _mlp(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        return self.drop(self.fc2(nn.gelu(self.fc1(x))), deterministic=deterministic)
+
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = x + self.attn(self.ln1(x), deterministic=deterministic)
+        x = x + self._mlp(self.ln2(x), deterministic)
+        return x
+
+    def decode_step(self, x, pos, cache):
+        attn, cache = self.attn.decode_step(self.ln1(x), pos, cache)
+        x = x + attn
+        x = x + self._mlp(self.ln2(x), True)
+        return x, cache
+
+
+class GPT(nn.Module):
+    vocab_size: int = 1024
+    block_size: int = 512
+    n_layer: int = 12
+    n_head: int = 8
+    n_embd: int = 256
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.tok_emb = nn.Embed(self.vocab_size, self.n_embd,
+                                embedding_init=_DENSE_INIT,
+                                param_dtype=jnp.float32, dtype=self.dtype)
+        self.pos_emb = self.param("pos_emb", nn.initializers.zeros,
+                                  (1, self.block_size, self.n_embd))
+        self.drop = nn.Dropout(self.embd_pdrop)
+        self.blocks = [Block(self.n_head, self.n_embd, self.attn_pdrop,
+                             self.resid_pdrop, self.dtype, name=f"block{i}")
+                       for i in range(self.n_layer)]
+        self.ln_f = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.head = nn.Dense(self.vocab_size, use_bias=False, kernel_init=_DENSE_INIT,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="head")
+
+    def __call__(self, idx: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        """idx [B, T] int32 → logits [B, T, vocab]."""
+        t = idx.shape[1]
+        assert t <= self.block_size, "block size exhausted"
+        x = self.tok_emb(idx) + self.pos_emb[:, :t, :].astype(self.dtype)
+        x = self.drop(x, deterministic=deterministic)
+        for block in self.blocks:
+            x = block(x, deterministic=deterministic)
+        x = self.ln_f(x)
+        return self.head(x)
+
+    # -- KV-cache decoding -------------------------------------------------
+    def init_cache(self, batch: int) -> Tuple[Dict[str, jax.Array], ...]:
+        head_dim = self.n_embd // self.n_head
+        z = lambda: jnp.zeros((batch, self.block_size, self.n_head, head_dim), self.dtype)
+        return tuple({"k": z(), "v": z()} for _ in range(self.n_layer))
+
+    def decode_step(self, token: jax.Array, pos: jax.Array, cache):
+        """token [B] int32, pos scalar → (logits [B, vocab], new cache)."""
+        x = self.tok_emb(token[:, None])
+        x = x + jax.lax.dynamic_slice_in_dim(self.pos_emb, pos, 1, axis=1).astype(self.dtype)
+        new_cache = []
+        for block, layer_cache in zip(self.blocks, cache):
+            x, layer_cache = block.decode_step(x, pos, layer_cache)
+            new_cache.append(layer_cache)
+        x = self.ln_f(x)
+        return self.head(x)[:, 0], tuple(new_cache)
+
+
+def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
+    """Keep top-k entries, set the rest to −inf (vqTransformer.py:156-170)."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
+                  prefix_len: int, steps: int, temperature: float = 1.0,
+                  top_k: Optional[int] = 100) -> jax.Array:
+    """KV-cached autoregressive sampling as one ``lax.scan``.
+
+    Args:
+      prefix: [B, L0] given tokens (SOS + optional partial indices). L0 ≥ 1.
+      prefix_len: static length of the given prefix.
+      steps: number of tokens to generate.
+
+    Returns [B, steps] sampled tokens. Replaces the reference's Python loop of
+    full re-forwards (vqTransformer.py:173-216).
+    """
+    b = prefix.shape[0]
+    cache = gpt.apply({"params": params}, b, method=GPT.init_cache)
+    total = prefix_len + steps - 1  # positions processed through decode_step
+
+    def body(carry, t):
+        cache, token, rng = carry
+        token_in = jnp.where(t < prefix_len, prefix[:, jnp.minimum(t, prefix_len - 1)], token)
+        logits, cache = gpt.apply({"params": params}, token_in, t, cache,
+                                  method=GPT.decode_step)
+        logits = logits.astype(jnp.float32) / temperature
+        if top_k is not None:
+            logits = top_k_filter(logits, top_k)
+        rng, sub = jax.random.split(rng)
+        sampled = jax.random.categorical(sub, logits, axis=-1)
+        return (cache, sampled, rng), sampled
+
+    (_, _, _), out = jax.lax.scan(body, (cache, prefix[:, 0], rng),
+                                  jnp.arange(total))
+    # outputs at positions [prefix_len-1, total) are the generated tokens
+    return jnp.swapaxes(out, 0, 1)[:, prefix_len - 1:]

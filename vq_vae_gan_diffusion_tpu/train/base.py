@@ -1,0 +1,129 @@
+"""Base worker: shared training-loop scaffolding.
+
+The reference duplicates this block in all six workers (SURVEY §2.2 "shared
+worker idioms"): experiment dirs, adaptive save_step, ``--debug`` loop
+truncation, per-epoch sample grids, epoch wall-time logging, checkpointing.
+Here it lives once; per-family workers implement ``init_state``,
+``train_step`` (a single jitted function), and ``generate_images``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..parallel import create_mesh, shard_batch
+from ..utils import (MetricWriter, adaptive_save_step, restore_checkpoint,
+                     save_checkpoint, to_uint8)
+
+
+class BaseWorker:
+    model_name: str = "base"
+
+    def __init__(self, config: Config, run_dir: str,
+                 logger: Optional[logging.Logger] = None,
+                 mesh=None, debug: bool = False, seed: int = 0,
+                 save_ckpt_dir: Optional[str] = None):
+        self.config = config
+        self.run_dir = run_dir
+        self.logger = logger or logging.getLogger("vqgd")
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.debug = debug
+        self.seed = seed
+        self.save_ckpt_dir = save_ckpt_dir or os.path.join(run_dir, "ckpt")
+        self.metrics = MetricWriter(run_dir)
+        self.global_step = 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.gif_frames: list = []
+        mean = list(config.dataset.mean)
+        std = list(config.dataset.std)
+        ds = config.dataset.dataset_name
+        ch = int(config.dataset.img_channels[ds])
+        self.mean, self.std = mean[:ch] or [0.5], std[:ch] or [0.5]
+        self.dataset_name = ds
+        self.state: Any = None
+
+    # -- subclass API ------------------------------------------------------
+    def init_state(self) -> Any:
+        raise NotImplementedError
+
+    def train_step(self, state, batch, rng):
+        """(state, batch, rng) -> (state, metrics dict). Must be jit-compiled."""
+        raise NotImplementedError
+
+    def generate_images(self, val_loader=None, n_samples: int = 16,
+                        epoch: int = 0) -> None:
+        raise NotImplementedError
+
+    def checkpoint_tree(self) -> Dict[str, Any]:
+        return {"state": self.state, "step": self.global_step}
+
+    def load_checkpoint_tree(self, tree: Dict[str, Any]) -> None:
+        self.state = tree["state"]
+        self.global_step = int(tree["step"])
+
+    # -- shared loop ---------------------------------------------------------
+    def next_rng(self) -> jax.Array:
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def train(self, dataloader: Iterable, epochs: int,
+              val_loader: Optional[Iterable] = None) -> Dict[str, float]:
+        if self.state is None:
+            self.state = self.init_state()
+        num_batches = len(dataloader) if hasattr(dataloader, "__len__") else 100
+        save_step = adaptive_save_step(num_batches)
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(epochs):
+            t0 = time.time()
+            images_seen = 0
+            for index, batch in enumerate(dataloader):
+                batch = shard_batch(np.asarray(batch), self.mesh)
+                self.state, metrics = self.train_step(self.state, batch, self.next_rng())
+                self.global_step += 1
+                images_seen += batch.shape[0]
+                if index % max(1, save_step // 5) == 0:
+                    last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                    self.metrics.write(self.global_step, last_metrics)
+                if index % save_step == 0:
+                    self.log_artifacts(batch, epoch, index)
+                if self.debug and index >= 1:
+                    break
+            dt = time.time() - t0
+            throughput = images_seen / max(dt, 1e-9)
+            self.logger.info("epoch %d done in %.1fs (%.1f images/s) %s",
+                             epoch, dt, throughput, last_metrics)
+            self.metrics.write(self.global_step, {"epoch_time_s": dt,
+                                                  "images_per_sec": throughput})
+            self.save(epoch)
+            if val_loader is not None:
+                try:
+                    self.generate_images(val_loader, epoch=epoch)
+                except NotImplementedError:
+                    pass
+            if self.debug:
+                break
+        return last_metrics
+
+    def log_artifacts(self, batch, epoch: int, index: int) -> None:
+        """Per-save_step artifact hook; default: nothing."""
+
+    def save(self, epoch: int = 0) -> None:
+        tree = self.checkpoint_tree()
+        tree["epoch"] = epoch
+        save_checkpoint(self.save_ckpt_dir, self.global_step, tree)
+
+    def load(self, ckpt_dir: Optional[str] = None) -> None:
+        tree = restore_checkpoint(ckpt_dir or self.save_ckpt_dir,
+                                  target={**self.checkpoint_tree(), "epoch": 0})
+        self.load_checkpoint_tree(tree)
+        self.logger.info("restored checkpoint at step %d", self.global_step)
+
+    def to_uint8(self, img) -> np.ndarray:
+        return to_uint8(np.asarray(img), self.mean, self.std)

@@ -1,0 +1,290 @@
+"""Stage-1 worker: VQVAE / VQGAN training.
+
+Re-designs reference ``worker/vqganVqvaeWorker.py`` as ONE jitted train step
+(SURVEY §3.1): the reference's per-step sequence — forward, LPIPS, two
+discriminator forwards, adaptive-λ via two extra backward passes, generator
+backward with retained graph, discriminator backward, two Adam steps
+(vqganVqvaeWorker.py:163-254) — compiles into a single XLA program with no
+host round-trips.
+
+Gradient-flow parity (SURVEY §7 hard-part 2). The reference does::
+
+    opt_vqvae.zero_grad(); vq_loss.backward(retain_graph=True)
+    opt_disc.zero_grad();  gan_loss.backward()
+    opt_disc.step();       opt_vqvae.step()
+
+so the generator gradient is ∂vq_loss/∂θ_G **plus** ∂gan_loss/∂θ_G (gan_loss
+is built from a non-detached D(G(x))), while the discriminator gradient is
+∂gan_loss/∂θ_D only (its vq_loss contribution is cleared by the second
+zero_grad). We reproduce exactly that with one combined loss::
+
+    total = vq_loss(θ_G; stop_grad(θ_D)) + gan_loss(θ_D, decoded(θ_G))
+
+differentiated w.r.t. (θ_G, θ_D) in one backward pass.
+
+Adaptive λ (reference vqvae.py:155-180): two VJPs of the perceptual+rec loss
+and the generator-adversarial loss w.r.t. the final decoder conv kernel,
+computed with nested ``jax.grad`` inside the step; λ = 0.8·clamp(‖g₁‖/(‖g₂‖+1e-4), 0, 1e4),
+stop-gradiented.
+
+InterHand26M hand-mask weighting (vqganVqvaeWorker.py:287-297): mask = red
+channel of the denormalized image > 20/255, multiplies the perceptual+rec map.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import VQVAE, Discriminator, adopt_weight
+from ..models.lpips import LPIPS, load_lpips_params
+from ..utils import make_grid, save_gif, save_image
+from .base import BaseWorker
+
+
+class VQGANState(struct.PyTreeNode):
+    vqvae_params: Any
+    disc_params: Any
+    disc_batch_stats: Any
+    opt_state_g: Any
+    opt_state_d: Any
+    step: jax.Array
+
+
+def _replace_leaf(tree: dict, path: Tuple[str, ...], value) -> dict:
+    """Functionally replace one leaf of a nested-dict pytree."""
+    if len(path) == 1:
+        return {**tree, path[0]: value}
+    return {**tree, path[0]: _replace_leaf(tree[path[0]], path[1:], value)}
+
+
+_LAST_DECODER_KERNEL = ("decoder", "conv_out", "kernel")
+
+
+def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
+                    lpips_params: Any, opt_g, opt_d, *,
+                    disc_factor: float, disc_start: int,
+                    perceptual_factor: float, rec_factor: float,
+                    use_hand_mask: bool = False,
+                    mean=(0.5,), std=(0.5,)):
+    """Build the jitted (state, imgs, rng) -> (state, metrics) step."""
+    is_gan = disc is not None
+    mean_arr = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    std_arr = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+
+    def perceptual_rec(imgs, decoded, mask):
+        p = lpips.apply({"params": lpips_params}, imgs, decoded)  # [B,1,1,1]
+        rec = jnp.abs(imgs - decoded)
+        prl = perceptual_factor * p + rec_factor * rec  # broadcast to [B,H,W,C]
+        if mask is not None:
+            prl = prl * mask
+        return jnp.mean(prl)
+
+    def disc_apply(params, stats, x, mutable: bool):
+        variables = {"params": params, "batch_stats": stats}
+        if mutable:
+            out, updates = disc.apply(variables, x, train=True, mutable=["batch_stats"])
+            return out, updates["batch_stats"]
+        out = disc.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+        return out, stats
+
+    @jax.jit
+    def train_step(state: VQGANState, imgs: jax.Array, rng: jax.Array):
+        if use_hand_mask:
+            den = imgs * std_arr + mean_arr
+            mask = (den[..., 0] > (20.0 / 255.0)).astype(imgs.dtype)[..., None]
+        else:
+            mask = None
+
+        df = adopt_weight(disc_factor, state.step, disc_start) if is_gan else 0.0
+
+        def total_loss(vq_params, disc_params):
+            decoded, indices, q_loss = model.apply({"params": vq_params}, imgs)
+            prl = perceptual_rec(imgs, decoded, mask)
+
+            if not is_gan:
+                vq_loss = prl + q_loss
+                aux = dict(decoded=decoded, indices=indices, q_loss=q_loss,
+                           perceptual_rec_loss=prl, vq_loss=vq_loss,
+                           gan_loss=0.0, lam=0.0,
+                           new_stats=state.disc_batch_stats)
+                return vq_loss, aux
+
+            sg_disc = jax.lax.stop_gradient(disc_params)
+
+            # adaptive λ: grads of (prl, g_loss) w.r.t. the last decoder kernel,
+            # recomputing only the decoder tail from z_q (vqvae.py:155-180)
+            z_q = jax.lax.stop_gradient(
+                model.apply({"params": vq_params}, imgs, method=VQVAE.encode)[0])
+
+            def tail(w_last, which: int):
+                p2 = _replace_leaf(vq_params, _LAST_DECODER_KERNEL, w_last)
+                dec = model.apply({"params": p2}, z_q, method=VQVAE.decode)
+                if which == 0:
+                    return perceptual_rec(imgs, dec, mask)
+                fake, _ = disc_apply(sg_disc, state.disc_batch_stats, dec, mutable=False)
+                return -jnp.mean(fake)
+
+            w_last = vq_params["decoder"]["conv_out"]["kernel"]
+            g_prl = jax.grad(tail)(w_last, 0)
+            g_gan = jax.grad(tail)(w_last, 1)
+            lam = 0.8 * jnp.clip(
+                jnp.linalg.norm(g_prl.reshape(-1)) /
+                (jnp.linalg.norm(g_gan.reshape(-1)) + 1e-4), 0.0, 1e4)
+            lam = jax.lax.stop_gradient(lam)
+
+            # generator-side adversarial term uses stop-grad D params so the
+            # combined backward gives D only the hinge gradient
+            disc_fake_g, _ = disc_apply(sg_disc, state.disc_batch_stats, decoded,
+                                        mutable=False)
+            g_loss = -jnp.mean(disc_fake_g)
+            vq_loss = prl + q_loss + df * lam * g_loss
+
+            # hinge discriminator loss; real then fake batch-stat updates
+            # (reference order vqganVqvaeWorker.py:208-209)
+            disc_real, stats1 = disc_apply(disc_params, state.disc_batch_stats,
+                                           imgs, mutable=True)
+            disc_fake_d, stats2 = disc_apply(disc_params, stats1, decoded,
+                                             mutable=True)
+            d_loss_real = jnp.mean(jax.nn.relu(1.0 - disc_real))
+            d_loss_fake = jnp.mean(jax.nn.relu(1.0 + disc_fake_d))
+            gan_loss = df * 0.5 * (d_loss_real + d_loss_fake)
+
+            aux = dict(decoded=decoded, indices=indices, q_loss=q_loss,
+                       perceptual_rec_loss=prl, vq_loss=vq_loss,
+                       gan_loss=gan_loss, lam=lam,
+                       new_stats=jax.lax.stop_gradient(stats2))
+            return vq_loss + gan_loss, aux
+
+        grad_fn = jax.grad(total_loss, argnums=(0, 1) if is_gan else (0,), has_aux=True)
+        if is_gan:
+            (g_grads, d_grads), aux = grad_fn(state.vqvae_params, state.disc_params)
+            d_updates, new_opt_d = opt_d.update(d_grads, state.opt_state_d,
+                                                state.disc_params)
+            new_disc = optax.apply_updates(state.disc_params, d_updates)
+            new_stats = aux["new_stats"]
+        else:
+            (g_grads,), aux = grad_fn(state.vqvae_params, None)
+            new_disc, new_opt_d, new_stats = (state.disc_params, state.opt_state_d,
+                                              state.disc_batch_stats)
+
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_state_g,
+                                            state.vqvae_params)
+        new_vq = optax.apply_updates(state.vqvae_params, g_updates)
+
+        new_state = state.replace(
+            vqvae_params=new_vq, disc_params=new_disc,
+            disc_batch_stats=new_stats, opt_state_g=new_opt_g,
+            opt_state_d=new_opt_d, step=state.step + 1)
+        metrics = {
+            "vq_loss": aux["vq_loss"], "gan_loss": aux["gan_loss"],
+            "q_loss": aux["q_loss"],
+            "perceptual_rec_loss": aux["perceptual_rec_loss"],
+            "lambda": aux["lam"], "disc_factor": df,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+class VQGANVQVAEWorker(BaseWorker):
+    """Reference worker/vqganVqvaeWorker.py equivalent (vqvae and vqgan modes)."""
+
+    def __init__(self, config: Config, run_dir: str, logger=None, mesh=None,
+                 debug: bool = False, seed: int = 0, save_ckpt_dir=None,
+                 use_pallas: bool = False, dtype=jnp.float32):
+        super().__init__(config, run_dir, logger, mesh, debug, seed, save_ckpt_dir)
+        self.model_name = config.architecture.model_name
+        self.is_gan = "vqgan" in self.model_name
+        self.model = VQVAE.from_config(config, dtype=dtype, use_pallas=use_pallas)
+        self.disc = Discriminator(dtype=dtype) if self.is_gan else None
+        self.lpips = LPIPS(dtype=dtype)
+        ch = self.model.img_channels
+        self.lpips_params = load_lpips_params(
+            config.trainer.get("vqvae", {}).get("perceptual_weights_path"),
+            img_channels=ch)
+
+        tr = config.trainer.vqvae
+        lr = float(tr.learning_rate)
+        b1, b2 = float(tr.beta1), float(tr.beta2)
+        self.opt_g = optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
+        self.opt_d = optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
+        dcfg = config.trainer.descriminator
+        self.use_hand_mask = (bool(config.dataset.get("get_hand_mask", False))
+                              and self.dataset_name == "InterHand26M")
+        self._train_step = make_train_step(
+            self.model, self.disc, self.lpips, self.lpips_params,
+            self.opt_g, self.opt_d,
+            disc_factor=float(dcfg.disc_factor), disc_start=int(dcfg.disc_start),
+            perceptual_factor=float(tr.perceptual_loss_factor),
+            rec_factor=float(tr.rec_loss_factor),
+            use_hand_mask=self.use_hand_mask, mean=self.mean, std=self.std)
+
+    def init_state(self) -> VQGANState:
+        rng = jax.random.PRNGKey(self.seed)
+        img = self.model.img_size
+        dummy = jnp.zeros((1, img, img, self.model.img_channels), jnp.float32)
+        vq_params = self.model.init(rng, dummy)["params"]
+        if self.is_gan:
+            dv = self.disc.init(rng, dummy, train=False)
+            disc_params, disc_stats = dv["params"], dv.get("batch_stats", {})
+        else:
+            disc_params, disc_stats = {}, {}
+        state = VQGANState(
+            vqvae_params=vq_params, disc_params=disc_params,
+            disc_batch_stats=disc_stats,
+            opt_state_g=self.opt_g.init(vq_params),
+            opt_state_d=self.opt_d.init(disc_params) if self.is_gan else (),
+            step=jnp.zeros((), jnp.int32))
+        n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(vq_params))
+        self.logger.info("VQVAE params: %.1fM (gan=%s)", n_params / 1e6, self.is_gan)
+        # resume (reference vqvae.py:87-94 logged but never loaded; we do load)
+        resume = self.config.architecture.vqvae.get("resume_path")
+        if resume and os.path.exists(str(resume)):
+            from ..utils import restore_checkpoint
+            tree = restore_checkpoint(str(resume), target={"state": state, "step": 0,
+                                                           "epoch": 0})
+            state = tree["state"]
+            self.logger.info("VQVAE resumed from %s", resume)
+        return state
+
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, batch, rng)
+
+    # -- artifacts -----------------------------------------------------------
+    def reconstruct(self, imgs: jax.Array) -> jax.Array:
+        decoded, _, _ = self.model.apply({"params": self.state.vqvae_params}, imgs)
+        return decoded
+
+    def log_artifacts(self, batch, epoch: int, index: int) -> None:
+        imgs = batch[:8]
+        decoded = self.reconstruct(imgs)
+        both = np.concatenate([self.to_uint8(np.asarray(imgs)),
+                               self.to_uint8(np.asarray(decoded))], axis=0)
+        grid = make_grid(both, nrow=8)
+        self.gif_frames.append(grid)
+        save_gif(self.gif_frames, os.path.join(self.run_dir, "reconstruction.gif"))
+        self.metrics.write_image(self.global_step, "reconstruction", grid)
+
+    def generate_images(self, val_loader=None, n_samples: int = 16, epoch: int = 0):
+        if val_loader is None:
+            return
+        for batch in val_loader:
+            imgs = jnp.asarray(batch[:n_samples])
+            decoded = self.reconstruct(imgs)
+            both = np.concatenate([self.to_uint8(np.asarray(imgs)),
+                                   self.to_uint8(np.asarray(decoded))], axis=0)
+            save_image(make_grid(both, nrow=n_samples),
+                       os.path.join(self.run_dir, f"val_recon_epoch{epoch}.jpg"))
+            break
+
+    def checkpoint_tree(self) -> Dict[str, Any]:
+        return {"state": self.state, "step": self.global_step}
