@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: MNIST-class VQGAN training throughput (images/sec/chip).
+
+The flagship workload from BASELINE.md — stage-1 VQGAN training (conv
+encoder/decoder + codebook quantization + LPIPS + PatchGAN + adaptive-λ
+double-VJP + two Adam optimizers), the reference's hot loop
+(vqganVqvaeWorker.py:163-254). One jitted step, batch 200 @ 28×28×1 as in the
+reference mnist config (training_config_small.yml:93).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline``: the reference publishes no benchmarks (BASELINE.json
+``published: {}``). We anchor against the same train step implemented in the
+reference's PyTorch stack measured on this host's CPU when
+``baselines/torch_cpu_reference.json`` exists (see
+tools/measure_torch_baseline.py); otherwise against the first TPU measurement
+recorded in ``baselines/first_tpu.json`` (self-relative speedup); 1.0 on the
+very first run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = 200
+IMG = 28
+WARMUP = 3
+ITERS = 20
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+
+    from vq_vae_gan_diffusion_tpu.config import load_config
+    from vq_vae_gan_diffusion_tpu.train.vqgan_worker import VQGANVQVAEWorker
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__),
+                                   "configs", "training_config_mnist.yml"))
+    cfg = cfg.replace_path("trainer.log_dir", "/tmp/vqgd_bench")
+    worker = VQGANVQVAEWorker(cfg, "/tmp/vqgd_bench/run", debug=True,
+                              dtype=jnp.bfloat16)
+    state = worker.init_state()
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(rng, (BATCH, IMG, IMG, 1), jnp.float32)
+    return worker, state, imgs, rng
+
+
+def main() -> int:
+    import jax
+
+    worker, state, imgs, rng = build()
+    n_chips = jax.local_device_count()
+
+    # warmup (compile)
+    for i in range(WARMUP):
+        state, metrics = worker.train_step(state, imgs, jax.random.fold_in(rng, i))
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = worker.train_step(state, imgs, jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * ITERS / dt / n_chips
+    base_dir = os.path.join(os.path.dirname(__file__), "baselines")
+    os.makedirs(base_dir, exist_ok=True)
+    vs = 1.0
+    torch_file = os.path.join(base_dir, "torch_cpu_reference.json")
+    first_file = os.path.join(base_dir, "first_tpu.json")
+    if os.path.exists(torch_file):
+        ref = json.load(open(torch_file)).get("images_per_sec", 0)
+        if ref > 0:
+            vs = ips / ref
+    elif os.path.exists(first_file):
+        ref = json.load(open(first_file)).get("images_per_sec", 0)
+        if ref > 0:
+            vs = ips / ref
+    else:
+        with open(first_file, "w") as f:
+            json.dump({"images_per_sec": ips, "batch": BATCH,
+                       "backend": jax.default_backend()}, f)
+
+    print(json.dumps({
+        "metric": "vqgan_mnist_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,6 +8,7 @@ devices. Must set the env vars before jax initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"  # the axon TPU plugin ignores JAX_PLATFORMS
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

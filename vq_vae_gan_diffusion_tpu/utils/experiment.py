@@ -71,6 +71,7 @@ class MetricWriter:
     """jsonl metrics + optional TensorBoard, one interface (SURVEY §5)."""
 
     def __init__(self, run_dir: str, use_tensorboard: bool = True):
+        os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
         self._tb = None
