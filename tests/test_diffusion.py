@@ -1,0 +1,166 @@
+"""Diffusion core tests: schedule golden values vs the reference's closed
+forms, q_sample/posterior identities, sampler shapes, discrete log-space
+consistency (SURVEY §4 plan items b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vq_vae_gan_diffusion_tpu.diffusion import (DiscreteDiffusion, LtState,
+                                                cosine_betas,
+                                                discrete_alpha_schedule,
+                                                index_to_log_onehot,
+                                                linear_betas,
+                                                log_onehot_to_index,
+                                                make_schedule, q_sample)
+from vq_vae_gan_diffusion_tpu.diffusion.gaussian import (ddim_sample,
+                                                         ddpm_sample,
+                                                         diffusion_loss)
+
+
+def test_linear_betas_golden():
+    b = linear_betas(1000)
+    assert b[0] == pytest.approx(1e-4)
+    assert b[-1] == pytest.approx(0.02)
+    assert len(b) == 1000
+
+
+def test_cosine_betas_properties():
+    b = cosine_betas(1000)
+    assert (b > 0).all() and (b <= 0.999).all()
+    # cosine alphas_cumprod at t=0 should be close to 1
+    ac = np.cumprod(1 - b)
+    assert ac[0] > 0.99
+    assert ac[-1] < 1e-3
+
+
+def test_discrete_alpha_schedule_is_distribution():
+    at, bt, ct, att, btt, ctt = discrete_alpha_schedule(100, N=1023)
+    # keep + N·uniform + mask must sum to 1 at every step
+    np.testing.assert_allclose(at + 1023 * bt + ct, 1.0, atol=1e-9)
+    np.testing.assert_allclose(att + 1023 * btt + ctt, 1.0, atol=1e-9)
+    assert att[-1] == pytest.approx(1.0)  # reference's trailing pad
+    assert ctt[-1] == pytest.approx(0.0)
+
+
+def test_q_sample_terminal_snr():
+    sched = make_schedule(1000, "linear")
+    x0 = jnp.ones((2, 4, 4, 1))
+    noise = jnp.zeros_like(x0)
+    t0 = jnp.zeros((2,), jnp.int32)
+    xt = q_sample(sched, x0, t0, noise)
+    np.testing.assert_allclose(np.asarray(xt), np.sqrt(1 - 1e-4), rtol=1e-5)
+
+
+def _dummy_model(x, cond, t):
+    return 0.1 * x
+
+
+def test_ddpm_ddim_shapes(rng):
+    sched = make_schedule(8, "linear")
+    x = jax.random.normal(rng, (2, 8, 8, 1))
+    out = ddpm_sample(sched, _dummy_model, rng, x)
+    assert out.shape == x.shape
+    out2 = ddim_sample(sched, _dummy_model, rng, x, sampling_timesteps=4)
+    assert out2.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_diffusion_loss_objectives(rng):
+    sched = make_schedule(8, "linear")
+    x0 = jax.random.normal(rng, (2, 8, 8, 1))
+    t = jnp.array([1, 5])
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    for obj in ("pred_noise", "pred_x0", "pred_v"):
+        loss, xt = diffusion_loss(sched, _dummy_model, x0, None, t, noise, obj)
+        assert np.isfinite(float(loss))
+        assert xt.shape == x0.shape
+
+
+# -- discrete ---------------------------------------------------------------
+
+K, N, T = 16, 8, 6
+
+
+def _disc_model(log_x_t, t):
+    # deterministic pseudo-logits from the input
+    return jnp.cumsum(log_x_t, axis=-1)[..., : K - 1] * 0.01
+
+
+@pytest.fixture(scope="module")
+def disc():
+    d = DiscreteDiffusion(num_classes=K, seq_len=N, timesteps=T)
+    d.model_fn = _disc_model
+    return d
+
+
+def test_log_onehot_roundtrip():
+    x = jnp.array([[0, 3, 15, 7]])
+    log_x = index_to_log_onehot(x, K)
+    np.testing.assert_array_equal(np.asarray(log_onehot_to_index(log_x)),
+                                  np.asarray(x))
+
+
+def test_q_pred_is_distribution(disc):
+    x = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]])
+    log_x = index_to_log_onehot(x, K)
+    for t_val in (0, 3, T - 1):
+        t = jnp.array([t_val])
+        probs = np.exp(np.asarray(disc.q_pred(log_x, t)))
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+        probs1 = np.exp(np.asarray(disc.q_pred_one_timestep(log_x, t)))
+        np.testing.assert_allclose(probs1.sum(-1), 1.0, atol=1e-4)
+
+
+def test_q_posterior_is_distribution(disc, rng):
+    x0 = jax.random.randint(rng, (2, N), 0, K - 1)
+    log_x0 = index_to_log_onehot(x0, K)
+    t = jnp.array([2, 4])
+    log_xt = disc.q_sample(rng, log_x0, t)
+    post = disc.q_posterior(log_x0, log_xt, t)
+    probs = np.exp(np.asarray(post))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
+
+
+def test_discrete_train_loss_and_state(disc, rng):
+    x0 = jax.random.randint(rng, (2, N), 0, K - 1)
+    lt = LtState.init(T)
+    loss, metrics, new_lt = disc.train_loss(rng, x0, lt)
+    assert np.isfinite(float(loss))
+    assert float(jnp.sum(new_lt.Lt_count)) == 2.0  # one count per sample
+    assert np.isfinite(np.asarray(new_lt.Lt_history)).all()
+
+
+def test_discrete_sample_shapes(disc, rng):
+    idx = disc.sample(rng, batch_size=2)
+    assert idx.shape == (2, N)
+    assert int(idx.max()) < K
+    idx_fast = disc.sample_fast(rng, batch_size=2, skip_step=2)
+    assert idx_fast.shape == (2, N)
+
+
+def test_discrete_loss_grad_flows(rng):
+    """Gradient must flow through predict_start into model params."""
+    import flax.linen as fnn
+
+    class TinyModel(fnn.Module):
+        @fnn.compact
+        def __call__(self, log_x, t):
+            return fnn.Dense(K - 1)(log_x)
+
+    m = TinyModel()
+    x0 = jax.random.randint(rng, (2, N), 0, K - 1)
+    params = m.init(rng, index_to_log_onehot(x0, K), jnp.zeros((2,), jnp.int32))
+
+    d = DiscreteDiffusion(num_classes=K, seq_len=N, timesteps=T)
+
+    def loss_fn(params):
+        d.model_fn = lambda lx, t: m.apply(params, lx, t)
+        loss, _, _ = d.train_loss(jax.random.PRNGKey(3), x0, LtState.init(T))
+        return loss
+
+    g = jax.grad(loss_fn)(params)
+    gmax = max(float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g))
+    assert gmax > 0

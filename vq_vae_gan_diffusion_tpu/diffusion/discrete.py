@@ -1,0 +1,323 @@
+"""Microsoft-style discrete VQ-Diffusion (mask-and-replace) in log space.
+
+Parity with reference ``network/vqDiffusion/submodule/diffusion_vq_official.py``:
+
+- (αt, βt, γt) keep/uniform/mask schedule (:65-78 via
+  :func:`.schedules.discrete_alpha_schedule`), log-space buffers (:135-164);
+- ``q_pred`` / ``q_pred_one_timestep`` (:175-208), ``predict_start`` with the
+  −70 mask-logit pad (:210-246), ``q_posterior`` (:248-280);
+- Gumbel categorical sampling (:299-304);
+- importance-sampled timesteps with Lt_history/Lt_count (:313-334, 383-387) —
+  the reference mutates registered buffers; here they are explicit state
+  threaded through the jitted loss (returned as ``new_history``);
+- train loss = reweighted KL + decoder NLL at t=0 + optional auxiliary x0-KL
+  (:336-406), final normalization sum/(B·N) (:503);
+- per-t accuracy telemetry: the reference updates Python lists with a
+  ``.cpu()`` sync per *sample* per step (:154-155, 361-366 — SURVEY §3 flags
+  this as a device-sync hazard); here it's an on-device scatter EMA;
+- ``sample`` (full reverse loop, :515-577) and ``sample_fast`` (skip-step,
+  :581-651) as ``lax.scan``. The reference initializes the chain from
+  ``log(U(0,1))`` noise (its constructed mask-onehot is unused, :560-563) —
+  reproduced.
+
+Numerics: the reference upcasts log_softmax to float64 (:237); TPU f64 is
+emulated and slow, so we keep f32 with the same [−70, 0] clamping — tolerance
+covered by tests (SURVEY §7 hard-part 3).
+
+Internal layout is class-LAST ``[B, N, K]`` (TPU-friendly); the model adapter
+transposes at the U-Net boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import discrete_alpha_schedule
+
+LOG_EPS = -70.0
+
+
+def index_to_log_onehot(x: jax.Array, num_classes: int) -> jax.Array:
+    """int [B, N] → log-onehot [B, N, K] (reference :50-60, class-last here)."""
+    oh = jax.nn.one_hot(x, num_classes, dtype=jnp.float32)
+    return jnp.log(jnp.clip(oh, 1e-30, None))
+
+
+def log_onehot_to_index(log_x: jax.Array) -> jax.Array:
+    return jnp.argmax(log_x, axis=-1)
+
+
+def log_add_exp(a: jax.Array, b: jax.Array) -> jax.Array:
+    m = jnp.maximum(a, b)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def log_1_min_a(a: jax.Array) -> jax.Array:
+    return jnp.log(1 - jnp.exp(a) + 1e-40)
+
+
+class DiscreteSchedule(NamedTuple):
+    log_at: jax.Array
+    log_bt: jax.Array
+    log_ct: jax.Array
+    log_cumprod_at: jax.Array
+    log_cumprod_bt: jax.Array
+    log_cumprod_ct: jax.Array
+    log_1_min_ct: jax.Array
+    log_1_min_cumprod_ct: jax.Array
+
+
+class LtState(NamedTuple):
+    """Importance-sampling history (reference registered buffers :154-155)."""
+    Lt_history: jax.Array   # [T]
+    Lt_count: jax.Array     # [T]
+    acc_ema: jax.Array      # [T] diffusion_acc_list
+    keep_ema: jax.Array     # [T] diffusion_keep_list
+
+    @classmethod
+    def init(cls, timesteps: int) -> "LtState":
+        z = jnp.zeros((timesteps,), jnp.float32)
+        return cls(z, z, z, z)
+
+
+def make_discrete_schedule(timesteps: int, num_classes: int) -> DiscreteSchedule:
+    at, bt, ct, att, btt, ctt = discrete_alpha_schedule(timesteps, N=num_classes - 1)
+    f = lambda x: jnp.asarray(np.log(np.clip(x, 1e-30, None)), jnp.float32)
+    log_ct = f(ct)
+    log_cumprod_ct = f(ctt)
+    return DiscreteSchedule(
+        log_at=f(at), log_bt=f(bt), log_ct=log_ct,
+        log_cumprod_at=f(att), log_cumprod_bt=f(btt),
+        log_cumprod_ct=log_cumprod_ct,
+        log_1_min_ct=log_1_min_a(log_ct),
+        log_1_min_cumprod_ct=log_1_min_a(log_cumprod_ct),
+    )
+
+
+def _ex(arr: jax.Array, t: jax.Array) -> jax.Array:
+    """[T] gathered at t [B] → [B, 1, 1] for class-last broadcasting."""
+    return arr[t][:, None, None]
+
+
+class DiscreteDiffusion:
+    """Functional Diffusion_VQ_Official. model_fn maps log-onehot → logits.
+
+    ``model_fn(log_x_t [B,N,K], t [B]) -> logits [B, N, K-1]`` (the adapter in
+    :mod:`.vq_diffusion_composite` handles the conv U-Net reshapes).
+    """
+
+    def __init__(self, num_classes: int, seq_len: int, timesteps: int = 100,
+                 sampling_timesteps: Optional[int] = None,
+                 model_fn: Optional[Callable] = None,
+                 auxiliary_loss_weight: float = 0.0,
+                 adaptive_auxiliary_loss: bool = False,
+                 mask_weight: Tuple[float, float] = (1.0, 1.0)):
+        self.num_classes = num_classes  # includes the mask class (last)
+        self.seq_len = seq_len
+        self.num_timesteps = timesteps
+        self.sampling_timesteps = sampling_timesteps or timesteps
+        self.model_fn = model_fn
+        self.auxiliary_loss_weight = auxiliary_loss_weight
+        self.adaptive_auxiliary_loss = adaptive_auxiliary_loss
+        self.mask_weight = mask_weight
+        self.sched = make_discrete_schedule(timesteps, num_classes)
+
+    # -- forward process ------------------------------------------------------
+    def q_pred_one_timestep(self, log_x_t: jax.Array, t: jax.Array) -> jax.Array:
+        s = self.sched
+        probs_nonmask = log_add_exp(log_x_t[..., :-1] + _ex(s.log_at, t),
+                                    _ex(s.log_bt, t))
+        probs_mask = log_add_exp(log_x_t[..., -1:] + _ex(s.log_1_min_ct, t),
+                                 _ex(s.log_ct, t))
+        return jnp.concatenate([probs_nonmask, probs_mask], axis=-1)
+
+    def q_pred(self, log_x_start: jax.Array, t: jax.Array) -> jax.Array:
+        s = self.sched
+        t = (t + self.num_timesteps + 1) % (self.num_timesteps + 1)
+        probs_nonmask = log_add_exp(
+            log_x_start[..., :-1] + _ex(s.log_cumprod_at, t),
+            _ex(s.log_cumprod_bt, t))
+        probs_mask = log_add_exp(
+            log_x_start[..., -1:] + _ex(s.log_1_min_cumprod_ct, t),
+            _ex(s.log_cumprod_ct, t))
+        return jnp.concatenate([probs_nonmask, probs_mask], axis=-1)
+
+    # -- model wrapper ---------------------------------------------------------
+    def predict_start(self, log_x_t: jax.Array, t: jax.Array) -> jax.Array:
+        """p(x0|xt): model logits → clamped log-probs with −70 mask pad."""
+        out = self.model_fn(log_x_t, t)                       # [B, N, K-1]
+        log_pred = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+        pad = jnp.full(log_pred.shape[:-1] + (1,), LOG_EPS, jnp.float32)
+        log_pred = jnp.concatenate([log_pred, pad], axis=-1)
+        return jnp.clip(log_pred, LOG_EPS, 0.0)
+
+    def q_posterior(self, log_x_start: jax.Array, log_x_t: jax.Array,
+                    t: jax.Array) -> jax.Array:
+        """p_θ(x_{t-1}|x_t) = Σ q(x_{t-1}|x_t, x0')·p(x0') (reference :248-280)."""
+        s = self.sched
+        b, n, k = log_x_start.shape
+        x_t_idx = log_onehot_to_index(log_x_t)
+        mask = (x_t_idx == self.num_classes - 1)[..., None]          # [B, N, 1]
+        log_zero = jnp.full((b, n, 1), jnp.log(1e-30), jnp.float32)
+
+        log_qt = self.q_pred(log_x_t, t)[..., :-1]                    # [B, N, K-1]
+        ct_cumprod = jnp.broadcast_to(_ex(s.log_cumprod_ct, t), (b, n, k - 1))
+        log_qt = jnp.where(mask, ct_cumprod, log_qt)
+
+        log_qt_one = self.q_pred_one_timestep(log_x_t, t)
+        log_qt_one = jnp.concatenate([log_qt_one[..., :-1], log_zero], axis=-1)
+        ct = jnp.broadcast_to(_ex(s.log_ct, t), (b, n, k - 1))
+        ct_vec = jnp.concatenate([ct, jnp.zeros((b, n, 1), jnp.float32)], axis=-1)
+        log_qt_one = jnp.where(mask, ct_vec, log_qt_one)
+
+        q = log_x_start[..., :-1] - log_qt
+        q = jnp.concatenate([q, log_zero], axis=-1)
+        q_log_sum_exp = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
+        q = q - q_log_sum_exp
+        log_ev = self.q_pred(q, t - 1) + log_qt_one + q_log_sum_exp
+        return jnp.clip(log_ev, LOG_EPS, 0.0)
+
+    def p_pred(self, log_x: jax.Array, t: jax.Array) -> jax.Array:
+        log_x_recon = self.predict_start(log_x, t)
+        return self.q_posterior(log_x_recon, log_x, t)
+
+    # -- sampling helpers ------------------------------------------------------
+    def log_sample_categorical(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
+        uniform = jax.random.uniform(rng, logits.shape)
+        gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
+        sample = jnp.argmax(gumbel + logits, axis=-1)
+        return index_to_log_onehot(sample, self.num_classes)
+
+    def q_sample(self, rng: jax.Array, log_x_start: jax.Array,
+                 t: jax.Array) -> jax.Array:
+        return self.log_sample_categorical(rng, self.q_pred(log_x_start, t))
+
+    def sample_time(self, rng: jax.Array, b: int, lt: LtState
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """Importance sampling of t once history is warm (:313-334)."""
+        rng_u, rng_i = jax.random.split(rng)
+        t_uniform = jax.random.randint(rng_u, (b,), 0, self.num_timesteps)
+        pt_uniform = jnp.full((b,), 1.0 / self.num_timesteps, jnp.float32)
+
+        Lt_sqrt = jnp.sqrt(lt.Lt_history + 1e-10) + 1e-4
+        Lt_sqrt = Lt_sqrt.at[0].set(Lt_sqrt[1])
+        pt_all = Lt_sqrt / jnp.sum(Lt_sqrt)
+        t_imp = jax.random.categorical(rng_i, jnp.log(pt_all), shape=(b,))
+        pt_imp = pt_all[t_imp]
+
+        warm = jnp.all(lt.Lt_count > 10)
+        t = jnp.where(warm, t_imp, t_uniform)
+        pt = jnp.where(warm, pt_imp, pt_uniform)
+        return t, pt
+
+    # -- training loss --------------------------------------------------------
+    def train_loss(self, rng: jax.Array, x0: jax.Array, lt: LtState
+                   ) -> Tuple[jax.Array, dict, LtState]:
+        """Returns (scalar loss, metrics, new LtState). x0: int [B, N]."""
+        b, n = x0.shape
+        rng_t, rng_q = jax.random.split(rng)
+        t, pt = self.sample_time(rng_t, b, lt)
+
+        log_x_start = index_to_log_onehot(x0, self.num_classes)
+        log_xt = self.q_sample(rng_q, log_x_start, t)
+        xt = log_onehot_to_index(log_xt)
+
+        log_x0_recon = self.predict_start(log_xt, t)
+        log_model_prob = self.q_posterior(log_x0_recon, log_xt, t)
+
+        # telemetry EMAs (on-device scatter; replaces Python-list .cpu() loop)
+        x0_recon = log_onehot_to_index(log_x0_recon)
+        xt1_recon = log_onehot_to_index(log_model_prob)
+        same0 = jnp.mean((x0_recon == x0).astype(jnp.float32), axis=1)
+        samek = jnp.mean((xt1_recon == xt).astype(jnp.float32), axis=1)
+        acc_ema = lt.acc_ema.at[t].set(0.1 * same0 + 0.9 * lt.acc_ema[t])
+        keep_ema = lt.keep_ema.at[t].set(0.1 * samek + 0.9 * lt.keep_ema[t])
+
+        log_true_prob = self.q_posterior(log_x_start, log_xt, t)
+        kl = jnp.sum(jnp.exp(log_true_prob) * (log_true_prob - log_model_prob),
+                     axis=-1)                                        # [B, N]
+        mask_region = (xt == self.num_classes - 1).astype(jnp.float32)
+        mask_w = mask_region * self.mask_weight[0] + (1 - mask_region) * self.mask_weight[1]
+        kl = jnp.sum(kl * mask_w, axis=1)                            # [B]
+
+        decoder_nll = -jnp.sum(jnp.exp(log_x_start) * log_model_prob, axis=-1)
+        decoder_nll = jnp.sum(decoder_nll, axis=1)
+
+        is_t0 = (t == 0).astype(jnp.float32)
+        kl_loss = is_t0 * decoder_nll + (1 - is_t0) * kl
+
+        Lt2 = jax.lax.stop_gradient(kl_loss ** 2)
+        new_history = lt.Lt_history.at[t].set(0.1 * Lt2 + 0.9 * lt.Lt_history[t])
+        new_count = lt.Lt_count.at[t].add(1.0)
+
+        vb_loss = kl_loss / pt
+        if self.auxiliary_loss_weight != 0:
+            kl_aux = jnp.sum(jnp.exp(log_x_start[..., :-1]) *
+                             (log_x_start[..., :-1] - log_x0_recon[..., :-1]),
+                             axis=-1)
+            kl_aux = jnp.sum(kl_aux * mask_w, axis=1)
+            kl_aux_loss = is_t0 * decoder_nll + (1 - is_t0) * kl_aux
+            if self.adaptive_auxiliary_loss:
+                add_w = (1 - t / self.num_timesteps) + 1.0
+            else:
+                add_w = 1.0
+            vb_loss = vb_loss + add_w * self.auxiliary_loss_weight * kl_aux_loss / pt
+
+        loss = jnp.sum(vb_loss) / (b * n)                            # :503
+        metrics = {"vb_loss": loss, "kl": jnp.mean(kl),
+                   "decoder_nll": jnp.mean(decoder_nll)}
+        return loss, metrics, LtState(new_history, new_count, acc_ema, keep_ema)
+
+    # -- sampling --------------------------------------------------------------
+    def _chain_init(self, rng: jax.Array, batch_size: int) -> jax.Array:
+        # reference starts from log(U(0,1)) noise, :560-566
+        u = jax.random.uniform(rng, (batch_size, self.seq_len, self.num_classes))
+        return jnp.log(u)
+
+    def sample(self, rng: jax.Array, batch_size: int = 16,
+               return_all_timesteps: bool = False) -> jax.Array:
+        rng_init, rng_loop = jax.random.split(rng)
+        log_z = self._chain_init(rng_init, batch_size)
+        start = self.sampling_timesteps
+
+        def body(carry, i):
+            log_z, rng = carry
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((batch_size,), i, jnp.int32)
+            log_z = self.log_sample_categorical(sub, self.p_pred(log_z, t))
+            return (log_z, rng), (log_onehot_to_index(log_z)
+                                  if return_all_timesteps else None)
+
+        (log_z, _), frames = jax.lax.scan(body, (log_z, rng_loop),
+                                          jnp.arange(start - 1, -1, -1))
+        indices = log_onehot_to_index(log_z)
+        if return_all_timesteps:
+            return indices, jnp.swapaxes(frames, 0, 1)
+        return indices
+
+    def sample_fast(self, rng: jax.Array, batch_size: int = 16,
+                    skip_step: int = 1) -> jax.Array:
+        rng_init, rng_loop = jax.random.split(rng)
+        log_z = self._chain_init(rng_init, batch_size)
+        start = self.sampling_timesteps
+        steps = list(range(start - 1, -1, -1 - skip_step))
+        if steps[-1] != 0:
+            steps.append(0)
+        steps = jnp.asarray(steps, jnp.int32)
+
+        def body(carry, i):
+            log_z, rng = carry
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((batch_size,), i, jnp.int32)
+            log_x_recon = self.predict_start(log_z, t)
+            t_post = jnp.where(i > skip_step, t - skip_step, t)
+            model_log_prob = self.q_posterior(log_x_recon, log_z, t_post)
+            log_z = self.log_sample_categorical(sub, model_log_prob)
+            return (log_z, rng), None
+
+        (log_z, _), _ = jax.lax.scan(body, (log_z, rng_loop), steps)
+        return log_onehot_to_index(log_z)

@@ -173,6 +173,7 @@ class GPT(nn.Module):
 
 def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
     """Keep top-k entries, set the rest to −inf (vqTransformer.py:156-170)."""
+    k = min(k, logits.shape[-1])
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 
