@@ -84,8 +84,11 @@ class LtState(NamedTuple):
         return cls(z, z, z, z)
 
 
-def make_discrete_schedule(timesteps: int, num_classes: int) -> DiscreteSchedule:
-    at, bt, ct, att, btt, ctt = discrete_alpha_schedule(timesteps, N=num_classes - 1)
+def make_discrete_schedule(timesteps: int, num_classes: int,
+                           ctt_T: float = 0.99999) -> DiscreteSchedule:
+    at, bt, ct, att, btt, ctt = discrete_alpha_schedule(timesteps,
+                                                        N=num_classes - 1,
+                                                        ctt_T=ctt_T)
     f = lambda x: jnp.asarray(np.log(np.clip(x, 1e-30, None)), jnp.float32)
     log_ct = f(ct)
     log_cumprod_ct = f(ctt)
@@ -115,7 +118,12 @@ class DiscreteDiffusion:
                  model_fn: Optional[Callable] = None,
                  auxiliary_loss_weight: float = 0.0,
                  adaptive_auxiliary_loss: bool = False,
-                 mask_weight: Tuple[float, float] = (1.0, 1.0)):
+                 mask_weight: Tuple[float, float] = (1.0, 1.0),
+                 ctt_T: float = 0.99999,
+                 mask_logit_pad: float = LOG_EPS,
+                 chain_init: str = "uniform_rand",
+                 use_importance_sampling: bool = True,
+                 truncation_rate: Optional[float] = None):
         self.num_classes = num_classes  # includes the mask class (last)
         self.seq_len = seq_len
         self.num_timesteps = timesteps
@@ -124,7 +132,11 @@ class DiscreteDiffusion:
         self.auxiliary_loss_weight = auxiliary_loss_weight
         self.adaptive_auxiliary_loss = adaptive_auxiliary_loss
         self.mask_weight = mask_weight
-        self.sched = make_discrete_schedule(timesteps, num_classes)
+        self.mask_logit_pad = mask_logit_pad
+        self.chain_init = chain_init      # 'uniform_rand' (vq_official quirk) | 'prior'
+        self.use_importance_sampling = use_importance_sampling
+        self.truncation_rate = truncation_rate
+        self.sched = make_discrete_schedule(timesteps, num_classes, ctt_T)
 
     # -- forward process ------------------------------------------------------
     def q_pred_one_timestep(self, log_x_t: jax.Array, t: jax.Array) -> jax.Array:
@@ -151,7 +163,7 @@ class DiscreteDiffusion:
         """p(x0|xt): model logits → clamped log-probs with −70 mask pad."""
         out = self.model_fn(log_x_t, t)                       # [B, N, K-1]
         log_pred = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-        pad = jnp.full(log_pred.shape[:-1] + (1,), LOG_EPS, jnp.float32)
+        pad = jnp.full(log_pred.shape[:-1] + (1,), self.mask_logit_pad, jnp.float32)
         log_pred = jnp.concatenate([log_pred, pad], axis=-1)
         return jnp.clip(log_pred, LOG_EPS, 0.0)
 
@@ -192,6 +204,18 @@ class DiscreteDiffusion:
         sample = jnp.argmax(gumbel + logits, axis=-1)
         return index_to_log_onehot(sample, self.num_classes)
 
+    def log_sample_categorical_truncated(self, rng: jax.Array,
+                                         logits: jax.Array) -> jax.Array:
+        """Truncated (top-r) Gumbel sampling (reference vq_diffusion.py:291-304)."""
+        r = self.truncation_rate or 0.86
+        k = max(int(self.num_classes * r), 1)
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+        uniform = jax.random.uniform(rng, logits.shape)
+        gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
+        sample = jnp.argmax(gumbel + logits, axis=-1)
+        return index_to_log_onehot(sample, self.num_classes)
+
     def q_sample(self, rng: jax.Array, log_x_start: jax.Array,
                  t: jax.Array) -> jax.Array:
         return self.log_sample_categorical(rng, self.q_pred(log_x_start, t))
@@ -202,6 +226,8 @@ class DiscreteDiffusion:
         rng_u, rng_i = jax.random.split(rng)
         t_uniform = jax.random.randint(rng_u, (b,), 0, self.num_timesteps)
         pt_uniform = jnp.full((b,), 1.0 / self.num_timesteps, jnp.float32)
+        if not self.use_importance_sampling:
+            return t_uniform, pt_uniform
 
         Lt_sqrt = jnp.sqrt(lt.Lt_history + 1e-10) + 1e-4
         Lt_sqrt = Lt_sqrt.at[0].set(Lt_sqrt[1])
@@ -274,7 +300,13 @@ class DiscreteDiffusion:
 
     # -- sampling --------------------------------------------------------------
     def _chain_init(self, rng: jax.Array, batch_size: int) -> jax.Array:
-        # reference starts from log(U(0,1)) noise, :560-566
+        if self.chain_init == "prior":
+            # proper q(x_T) prior (reference vq_diffusion.py:373-379)
+            log_x = jnp.full((batch_size, self.seq_len, self.num_classes),
+                             self.sched.log_cumprod_bt[-1], jnp.float32)
+            log_x = log_x.at[..., -1].set(self.sched.log_cumprod_ct[-1])
+            return jnp.clip(log_x, LOG_EPS, 0.0)
+        # Diffusion_VQ_Official starts from log(U(0,1)) noise, :560-566
         u = jax.random.uniform(rng, (batch_size, self.seq_len, self.num_classes))
         return jnp.log(u)
 

@@ -1,0 +1,174 @@
+"""Transformer-predictor VQ-Diffusion with AdaLN time conditioning.
+
+Parity with reference ``network/vq_diffusion/vq_diffusion.py`` (and the
+root-level educational twin ``vq_diffusion.py`` — byte-similar math,
+neither reachable from the reference's entry points but part of its capability
+surface):
+
+- ``TransformerPredictor`` (:116-148): token + learned positional embedding,
+  blocks of AdaLN(t) → self-attention → (optional CLIP cross-attention) → FFN,
+  vocab−1 head;
+- discrete mask-and-replace diffusion with γ̄_T = 0.9, mask-logit pad −30,
+  mask_weight (1.5, 1.0), auxiliary x0-KL weight 5e-4 with adaptive (1−t/T)+1
+  weighting, uniform time sampling (:148-167, 186-210);
+- proper q(x_T) prior chain init (:373-379) — unlike Diffusion_VQ_Official's
+  U(0,1) quirk;
+- ``sample`` (full loop) and ``fast_sample`` (skip-step Δt with truncated
+  top-r=0.86 Gumbel sampling, :291-304, :391-432), both as ``lax.scan``;
+- optional text conditioning via a frozen CLIP text encoder (reference
+  ``USE_TEXT_CONDITION`` flag; here the ``use_text_condition`` flag — the
+  encoder loads through HF ``transformers`` when weights are available and the
+  text embedding is passed as ``cond_emb``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..diffusion.discrete import (LOG_EPS, DiscreteDiffusion, LtState,
+                                  index_to_log_onehot, log_onehot_to_index)
+
+
+class AdaLNTransformerBlock(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    cross_attention: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_emb, cond_emb=None, *, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        scale = nn.Dense(self.embed_dim, dtype=self.dtype, name="ada_ln_scale")(t_emb)
+        bias = nn.Dense(self.embed_dim, dtype=self.dtype, name="ada_ln_bias")(t_emb)
+        h = scale[:, None, :] * h + bias[:, None, :]
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, dropout_rate=self.dropout,
+            deterministic=deterministic, name="self_attention")(h, h)
+        h = h + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        if self.cross_attention and cond_emb is not None:
+            hn = nn.LayerNorm(dtype=self.dtype, name="norm_cross")(h)
+            xattn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                dropout_rate=self.dropout, deterministic=deterministic,
+                name="cross_attention")(hn, cond_emb)
+            h = hn + nn.Dropout(self.dropout)(xattn, deterministic=deterministic)
+        h2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        ffn = nn.Dense(self.embed_dim * 4, dtype=self.dtype, name="ffn1")(h2)
+        ffn = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn2")(nn.relu(ffn))
+        return h2 + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
+
+
+class TransformerPredictor(nn.Module):
+    num_tokens: int            # K + 1 (includes [MASK])
+    embedding_dim: int = 64
+    num_layers: int = 4
+    num_heads: int = 4
+    seq_len: int = 256
+    diffusion_steps: int = 100
+    cross_attention: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, indices: jax.Array, t: jax.Array, cond_emb=None, *,
+                 deterministic: bool = True) -> jax.Array:
+        """indices [B, N] int → logits [B, N, num_tokens−1]."""
+        x = nn.Embed(self.num_tokens, self.embedding_dim, dtype=self.dtype,
+                     name="embedding")(indices)
+        pos = self.param("positional_encoding", nn.initializers.normal(1.0),
+                         (1, self.seq_len, self.embedding_dim))
+        x = x + pos.astype(self.dtype)
+        t_emb = nn.Embed(self.diffusion_steps, self.embedding_dim,
+                         dtype=self.dtype, name="time_embedding")(t)
+        for i in range(self.num_layers):
+            x = AdaLNTransformerBlock(self.embedding_dim, self.num_heads,
+                                      cross_attention=self.cross_attention,
+                                      dtype=self.dtype, name=f"block{i}")(
+                x, t_emb, cond_emb, deterministic=deterministic)
+        return nn.Dense(self.num_tokens - 1, dtype=self.dtype, name="fc")(x)
+
+
+class TransformerVQDiffusion:
+    """Discrete diffusion + TransformerPredictor (functional composite)."""
+
+    def __init__(self, codebook_size: int = 1024, seq_len: int = 256,
+                 diffusion_steps: int = 100, embedding_dim: int = 64,
+                 num_layers: int = 4, num_heads: int = 4,
+                 truncation_rate: float = 0.86,
+                 use_text_condition: bool = False, dtype=jnp.float32):
+        self.num_classes = codebook_size + 1
+        self.seq_len = seq_len
+        self.predictor = TransformerPredictor(
+            num_tokens=self.num_classes, embedding_dim=embedding_dim,
+            num_layers=num_layers, num_heads=num_heads, seq_len=seq_len,
+            diffusion_steps=diffusion_steps,
+            cross_attention=use_text_condition, dtype=dtype)
+        self.use_text_condition = use_text_condition
+        self.diffusion = DiscreteDiffusion(
+            num_classes=self.num_classes, seq_len=seq_len,
+            timesteps=diffusion_steps,
+            auxiliary_loss_weight=5e-4, adaptive_auxiliary_loss=True,
+            mask_weight=(1.5, 1.0), ctt_T=0.9, mask_logit_pad=-30.0,
+            chain_init="prior", use_importance_sampling=False,
+            truncation_rate=truncation_rate)
+
+    def _bind(self, params, cond_emb=None, rngs=None):
+        def model_fn(log_x_t, t):
+            indices = log_onehot_to_index(log_x_t)
+            return self.predictor.apply({"params": params}, indices, t, cond_emb,
+                                        deterministic=rngs is None,
+                                        rngs=rngs or {})
+        return model_fn
+
+    def encode_text(self, texts) -> Optional[jax.Array]:
+        """Frozen CLIP text features (needs HF weights on disk; zero-egress
+        environments get a clear error instead of a hang)."""
+        if not self.use_text_condition:
+            return None
+        from transformers import CLIPTokenizer, FlaxCLIPTextModel
+        tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+        enc = FlaxCLIPTextModel.from_pretrained("openai/clip-vit-base-patch32")
+        inputs = tok(texts, return_tensors="np", padding=True, truncation=True,
+                     max_length=77)
+        return enc(**inputs).last_hidden_state
+
+    def loss(self, params, x0: jax.Array, rng: jax.Array, lt: LtState,
+             cond_emb=None):
+        rng_loss, rng_drop = jax.random.split(rng)
+        self.diffusion.model_fn = self._bind(params, cond_emb,
+                                             rngs={"dropout": rng_drop})
+        return self.diffusion.train_loss(rng_loss, x0, lt)
+
+    def sample(self, params, rng: jax.Array, num_samples: int,
+               cond_emb=None) -> jax.Array:
+        self.diffusion.model_fn = self._bind(params, cond_emb)
+        idx = self.diffusion.sample(rng, num_samples)
+        idx = jnp.minimum(idx, self.num_classes - 2)   # exclude [MASK]
+        g = int(self.seq_len ** 0.5)
+        return idx.reshape(num_samples, g, g)
+
+    def fast_sample(self, params, rng: jax.Array, num_samples: int,
+                    skip_step: int = 4, cond_emb=None) -> jax.Array:
+        """Skip-step loop with truncated Gumbel sampling (:391-432)."""
+        self.diffusion.model_fn = self._bind(params, cond_emb)
+        d = self.diffusion
+        rng_init, rng_loop = jax.random.split(rng)
+        log_z = d._chain_init(rng_init, num_samples)
+        steps = jnp.arange(d.num_timesteps - 1, -1, -skip_step)
+
+        def body(carry, i):
+            log_z, rng = carry
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((num_samples,), i, jnp.int32)
+            log_model_prob = d.p_pred(log_z, t)
+            log_z = d.log_sample_categorical_truncated(sub, log_model_prob)
+            return (log_z, rng), None
+
+        (log_z, _), _ = jax.lax.scan(body, (log_z, rng_loop), steps)
+        idx = jnp.minimum(log_onehot_to_index(log_z), self.num_classes - 2)
+        g = int(self.seq_len ** 0.5)
+        return idx.reshape(num_samples, g, g)
