@@ -68,7 +68,7 @@ class CausalSelfAttention(nn.Module):
                     cache: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """One-token attention against a [B, block, H, D] KV cache."""
         b, one, c = x.shape
-        q = self._heads(self.query(x))[:, 0]          # [B, H, D]... actually [B, H, D]
+        q = self._heads(self.query(x))[:, 0]          # [B, H, D]
         k_new = self._heads(self.key(x))[:, 0]
         v_new = self._heads(self.value(x))[:, 0]
         k_cache = jax.lax.dynamic_update_index_in_dim(cache["k"], k_new, pos, axis=1)
@@ -92,8 +92,8 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.ln1 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
-        self.ln2 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         self.attn = CausalSelfAttention(self.n_head, self.n_embd, self.attn_pdrop,
                                         self.resid_pdrop, self.dtype)
         self.fc1 = nn.Dense(4 * self.n_embd, kernel_init=_DENSE_INIT,
@@ -103,7 +103,9 @@ class Block(nn.Module):
         self.drop = nn.Dropout(self.resid_pdrop)
 
     def _mlp(self, x: jax.Array, deterministic: bool) -> jax.Array:
-        return self.drop(self.fc2(nn.gelu(self.fc1(x))), deterministic=deterministic)
+        # exact-erf GELU to match torch nn.GELU (mingpt.py:100)
+        h = nn.gelu(self.fc1(x), approximate=False)
+        return self.drop(self.fc2(h), deterministic=deterministic)
 
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = x + self.attn(self.ln1(x), deterministic=deterministic)
@@ -138,7 +140,7 @@ class GPT(nn.Module):
         self.blocks = [Block(self.n_head, self.n_embd, self.attn_pdrop,
                              self.resid_pdrop, self.dtype, name=f"block{i}")
                        for i in range(self.n_layer)]
-        self.ln_f = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         self.head = nn.Dense(self.vocab_size, use_bias=False, kernel_init=_DENSE_INIT,
                              dtype=self.dtype, param_dtype=jnp.float32, name="head")
 
