@@ -52,18 +52,25 @@ def build():
 def main() -> int:
     import jax
 
+    from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     worker, state, imgs, rng = build()
     n_chips = jax.local_device_count()
 
-    # warmup (compile)
+    import numpy as np
+
+    # warmup: covers both compile variants (fresh uncommitted args, then
+    # committed jit outputs). NOTE: block_until_ready does not actually fence
+    # on the axon backend — a host readback is the only reliable sync.
     for i in range(WARMUP):
         state, metrics = worker.train_step(state, imgs, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state)
+        float(np.asarray(metrics["vq_loss"]))
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = worker.train_step(state, imgs, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(state)
+    float(np.asarray(metrics["vq_loss"]))  # sync
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt / n_chips

@@ -39,6 +39,8 @@ def main(argv=None) -> int:
     from vq_vae_gan_diffusion_tpu.parallel import create_mesh
     from vq_vae_gan_diffusion_tpu.train import build_worker
     from vq_vae_gan_diffusion_tpu.utils import create_run_dir, setup_logging
+    from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     config = load_config(args.config)
     validate(config)

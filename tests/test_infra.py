@@ -145,12 +145,15 @@ def test_dp_train_step_matches_single_device(tiny_config, rng, mesh):
 
     state_repl = jax.device_put(state, NamedSharding(mesh, P()))
     sharded = shard_batch(batch, mesh)
-    s2, m2 = w.train_step(state_repl, sharded, rng)
+    rng_repl = jax.device_put(rng, NamedSharding(mesh, P()))
+    w.lpips_params = jax.device_put(w.lpips_params, NamedSharding(mesh, P()))
+    s2, m2 = w.train_step(state_repl, sharded, rng_repl)
 
     assert abs(float(m1["vq_loss"]) - float(m2["vq_loss"])) < 1e-4
     a = jax.tree_util.tree_leaves(s1.vqvae_params)
     b = jax.tree_util.tree_leaves(s2.vqvae_params)
-    diffs = [float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b)]
+    diffs = [float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+             for x, y in zip(a, b)]
     # cross-device reduction order perturbs near-zero grads; Adam can amplify
     # such a perturbation to at most ~2·lr for a single element
     assert max(diffs) < 3 * 2.25e-4

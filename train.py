@@ -54,6 +54,8 @@ def main(argv=None) -> int:
     logger.info("model=%s dataset=%s run_dir=%s", model_name, dataset_name, run_dir)
 
     import jax
+    from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     logger.info("devices: %s", jax.devices())
     mesh = create_mesh()
 

@@ -46,6 +46,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     import jax
+    from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax

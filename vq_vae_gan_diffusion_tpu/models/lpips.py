@@ -104,7 +104,8 @@ class LPIPS(nn.Module):
 def _random_lpips_params(rng: jax.Array, img_channels: int = 3) -> Dict:
     model = LPIPS()
     dummy = jnp.zeros((1, 64, 64, img_channels), jnp.float32)
-    variables = model.init(rng, dummy, dummy)
+    with jax.default_device(jax.devices("cpu")[0]):  # fast, cache-friendly init
+        variables = model.init(rng, dummy, dummy)
     return variables["params"]
 
 

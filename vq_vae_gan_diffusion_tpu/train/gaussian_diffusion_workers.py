@@ -117,7 +117,10 @@ class GaussianDiffusion2DWorker(BaseWorker):
     def init_state(self) -> DiffusionState:
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, self.img_size, self.img_size), jnp.float32)
-        params = self.unet.init(rng, dummy, None, jnp.zeros((1,), jnp.int32))["params"]
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = self.unet.init(rng, dummy, None,
+                                    jnp.zeros((1,), jnp.int32))["params"]
+        params = jax.device_put(params, jax.devices()[0])
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
         self.logger.info("gaussiandiffusion2d U-Net params: %.1fM", n / 1e6)
         return DiffusionState(params=params, batch_stats={}, ema_params=params,

@@ -72,7 +72,9 @@ class VAEWorker(BaseWorker):
         rng = jax.random.PRNGKey(self.seed)
         img = self.model.img_size
         dummy = jnp.zeros((1, img, img, self.model.img_channels), jnp.float32)
-        params = self.model.init(rng, dummy, rng)["params"]
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = self.model.init(rng, dummy, rng)["params"]
+        params = jax.device_put(params, jax.devices()[0])
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
         self.logger.info("VAE params: %.1fM", n / 1e6)
         return VAEState(params=params, opt_state=self.opt.init(params),

@@ -107,7 +107,9 @@ class VQDiffusionWorker(BaseWorker):
         vq = c.vqvae
         dummy_img = jnp.zeros((1, vq.img_size, vq.img_size, vq.img_channels),
                               jnp.float32)
-        vq_params = vq.init(rng, dummy_img)["params"]
+        with jax.default_device(jax.devices("cpu")[0]):
+            vq_params = vq.init(rng, dummy_img)["params"]
+        vq_params = jax.device_put(vq_params, jax.devices()[0])
         resume = self.config.architecture.vqvae.get("resume_path")
         if resume and os.path.exists(str(resume)):
             from ..utils import restore_checkpoint

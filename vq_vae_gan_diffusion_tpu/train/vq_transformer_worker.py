@@ -86,7 +86,9 @@ class VQTransformerWorker(BaseWorker):
         rng = jax.random.PRNGKey(self.seed)
         vq = self.composite.vqvae
         dummy = jnp.zeros((1, vq.img_size, vq.img_size, vq.img_channels), jnp.float32)
-        vq_params = vq.init(rng, dummy)["params"]
+        with jax.default_device(jax.devices("cpu")[0]):
+            vq_params = vq.init(rng, dummy)["params"]
+        vq_params = jax.device_put(vq_params, jax.devices()[0])
         # resume frozen stage-1 weights (reference resume_path semantics)
         resume = self.config.architecture.vqvae.get("resume_path")
         if resume and os.path.exists(str(resume)):
@@ -98,7 +100,9 @@ class VQTransformerWorker(BaseWorker):
             except (KeyError, TypeError):
                 self.logger.warning("could not extract vqvae_params from %s", resume)
         dummy_idx = jnp.zeros((1, self.composite.seq_len), jnp.int32)
-        gpt_params = self.composite.gpt.init(rng, dummy_idx)["params"]
+        with jax.default_device(jax.devices("cpu")[0]):
+            gpt_params = self.composite.gpt.init(rng, dummy_idx)["params"]
+        gpt_params = jax.device_put(gpt_params, jax.devices()[0])
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(gpt_params))
         self.logger.info("GPT params: %.1fM", n / 1e6)
         return TransformerState(gpt_params=gpt_params, vq_params=vq_params,

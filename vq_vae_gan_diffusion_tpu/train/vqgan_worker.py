@@ -70,23 +70,20 @@ _LAST_DECODER_KERNEL = ("decoder", "conv_out", "kernel")
 
 
 def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
-                    lpips_params: Any, opt_g, opt_d, *,
+                    opt_g, opt_d, *,
                     disc_factor: float, disc_start: int,
                     perceptual_factor: float, rec_factor: float,
                     use_hand_mask: bool = False,
                     mean=(0.5,), std=(0.5,)):
-    """Build the jitted (state, imgs, rng) -> (state, metrics) step."""
+    """Build the jitted (state, imgs, rng, lpips_params) -> (state, metrics) step.
+
+    ``lpips_params`` is an explicit argument (not a closure capture): closed-over
+    arrays become inlined XLA constants, which bloats every compiled program by
+    the full VGG weight size and defeats compilation caching.
+    """
     is_gan = disc is not None
     mean_arr = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
     std_arr = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
-
-    def perceptual_rec(imgs, decoded, mask):
-        p = lpips.apply({"params": lpips_params}, imgs, decoded)  # [B,1,1,1]
-        rec = jnp.abs(imgs - decoded)
-        prl = perceptual_factor * p + rec_factor * rec  # broadcast to [B,H,W,C]
-        if mask is not None:
-            prl = prl * mask
-        return jnp.mean(prl)
 
     def disc_apply(params, stats, x, mutable: bool):
         variables = {"params": params, "batch_stats": stats}
@@ -97,7 +94,16 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
         return out, stats
 
     @jax.jit
-    def train_step(state: VQGANState, imgs: jax.Array, rng: jax.Array):
+    def train_step(state: VQGANState, imgs: jax.Array, rng: jax.Array,
+                   lpips_params: Any):
+        def perceptual_rec(imgs, decoded, mask):
+            p = lpips.apply({"params": lpips_params}, imgs, decoded)  # [B,1,1,1]
+            rec = jnp.abs(imgs - decoded)
+            prl = perceptual_factor * p + rec_factor * rec  # [B,H,W,C] broadcast
+            if mask is not None:
+                prl = prl * mask
+            return jnp.mean(prl)
+
         if use_hand_mask:
             den = imgs * std_arr + mean_arr
             mask = (den[..., 0] > (20.0 / 255.0)).astype(imgs.dtype)[..., None]
@@ -105,6 +111,35 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
             mask = None
 
         df = adopt_weight(disc_factor, state.step, disc_start) if is_gan else 0.0
+
+        # adaptive λ: grads of (prl, g_loss) w.r.t. the last decoder kernel,
+        # recomputing only the decoder tail from z_q (vqvae.py:155-180). λ is
+        # detached in the reference, so it is computed OUTSIDE the outer grad —
+        # nesting these VJPs inside the differentiated loss makes XLA replay
+        # the whole tail graph under the outer transpose (~100× step cost).
+        if is_gan:
+            z_q = jax.lax.stop_gradient(
+                model.apply({"params": state.vqvae_params}, imgs,
+                            method=VQVAE.encode)[0])
+
+            def tail(w_last, which: int):
+                p2 = _replace_leaf(state.vqvae_params, _LAST_DECODER_KERNEL,
+                                   w_last)
+                dec = model.apply({"params": p2}, z_q, method=VQVAE.decode)
+                if which == 0:
+                    return perceptual_rec(imgs, dec, mask)
+                fake, _ = disc_apply(state.disc_params, state.disc_batch_stats,
+                                     dec, mutable=False)
+                return -jnp.mean(fake)
+
+            w_last = state.vqvae_params["decoder"]["conv_out"]["kernel"]
+            g_prl = jax.grad(tail)(w_last, 0)
+            g_gan = jax.grad(tail)(w_last, 1)
+            lam = 0.8 * jnp.clip(
+                jnp.linalg.norm(g_prl.reshape(-1)) /
+                (jnp.linalg.norm(g_gan.reshape(-1)) + 1e-4), 0.0, 1e4)
+        else:
+            lam = 0.0
 
         def total_loss(vq_params, disc_params):
             decoded, indices, q_loss = model.apply({"params": vq_params}, imgs)
@@ -119,27 +154,6 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
                 return vq_loss, aux
 
             sg_disc = jax.lax.stop_gradient(disc_params)
-
-            # adaptive λ: grads of (prl, g_loss) w.r.t. the last decoder kernel,
-            # recomputing only the decoder tail from z_q (vqvae.py:155-180)
-            z_q = jax.lax.stop_gradient(
-                model.apply({"params": vq_params}, imgs, method=VQVAE.encode)[0])
-
-            def tail(w_last, which: int):
-                p2 = _replace_leaf(vq_params, _LAST_DECODER_KERNEL, w_last)
-                dec = model.apply({"params": p2}, z_q, method=VQVAE.decode)
-                if which == 0:
-                    return perceptual_rec(imgs, dec, mask)
-                fake, _ = disc_apply(sg_disc, state.disc_batch_stats, dec, mutable=False)
-                return -jnp.mean(fake)
-
-            w_last = vq_params["decoder"]["conv_out"]["kernel"]
-            g_prl = jax.grad(tail)(w_last, 0)
-            g_gan = jax.grad(tail)(w_last, 1)
-            lam = 0.8 * jnp.clip(
-                jnp.linalg.norm(g_prl.reshape(-1)) /
-                (jnp.linalg.norm(g_gan.reshape(-1)) + 1e-4), 0.0, 1e4)
-            lam = jax.lax.stop_gradient(lam)
 
             # generator-side adversarial term uses stop-grad D params so the
             # combined backward gives D only the hinge gradient
@@ -208,9 +222,9 @@ class VQGANVQVAEWorker(BaseWorker):
         self.disc = Discriminator(dtype=dtype) if self.is_gan else None
         self.lpips = LPIPS(dtype=dtype)
         ch = self.model.img_channels
-        self.lpips_params = load_lpips_params(
+        self.lpips_params = jax.device_put(load_lpips_params(
             config.trainer.get("vqvae", {}).get("perceptual_weights_path"),
-            img_channels=ch)
+            img_channels=ch), jax.devices()[0])
 
         tr = config.trainer.vqvae
         lr = float(tr.learning_rate)
@@ -221,7 +235,7 @@ class VQGANVQVAEWorker(BaseWorker):
         self.use_hand_mask = (bool(config.dataset.get("get_hand_mask", False))
                               and self.dataset_name == "InterHand26M")
         self._train_step = make_train_step(
-            self.model, self.disc, self.lpips, self.lpips_params,
+            self.model, self.disc, self.lpips,
             self.opt_g, self.opt_d,
             disc_factor=float(dcfg.disc_factor), disc_start=int(dcfg.disc_start),
             perceptual_factor=float(tr.perceptual_loss_factor),
@@ -232,12 +246,15 @@ class VQGANVQVAEWorker(BaseWorker):
         rng = jax.random.PRNGKey(self.seed)
         img = self.model.img_size
         dummy = jnp.zeros((1, img, img, self.model.img_channels), jnp.float32)
-        vq_params = self.model.init(rng, dummy)["params"]
-        if self.is_gan:
-            dv = self.disc.init(rng, dummy, train=False)
-            disc_params, disc_stats = dv["params"], dv.get("batch_stats", {})
-        else:
-            disc_params, disc_stats = {}, {}
+        with jax.default_device(jax.devices("cpu")[0]):  # fast cached init
+            vq_params = self.model.init(rng, dummy)["params"]
+            if self.is_gan:
+                dv = self.disc.init(rng, dummy, train=False)
+                disc_params, disc_stats = dv["params"], dv.get("batch_stats", {})
+            else:
+                disc_params, disc_stats = {}, {}
+        vq_params, disc_params, disc_stats = jax.device_put(
+            (vq_params, disc_params, disc_stats), jax.devices()[0])
         state = VQGANState(
             vqvae_params=vq_params, disc_params=disc_params,
             disc_batch_stats=disc_stats,
@@ -257,7 +274,7 @@ class VQGANVQVAEWorker(BaseWorker):
         return state
 
     def train_step(self, state, batch, rng):
-        return self._train_step(state, batch, rng)
+        return self._train_step(state, batch, rng, self.lpips_params)
 
     # -- artifacts -----------------------------------------------------------
     def reconstruct(self, imgs: jax.Array) -> jax.Array:
