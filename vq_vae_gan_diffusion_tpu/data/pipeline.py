@@ -23,6 +23,7 @@ TPU-specific: batches are padded to a multiple of the data-mesh size by
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from typing import Callable, Iterator, Optional
@@ -182,6 +183,31 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
         max_samples = min(int(cfg_max), max_samples or int(cfg_max))
 
     shuffle = bool(config.dataset.get("train_shuffle", True)) if train else False
+
+    # opt-in native fast path: decode once into an mmap store, then let the
+    # C++ prefetcher (native/sampledb.cpp) do gather+augment+normalize
+    # (~100× the Python per-sample path; flips only — rotation-augmented
+    # datasets keep the Python loader)
+    if bool(config.dataset.get("use_native_loader", False)) and not augment:
+        try:
+            from .native_loader import (NativeDataLoader, build_sample_store,
+                                        is_available)
+            if is_available():
+                cache = os.path.join(
+                    config.dataset.get("cache_dir", "cache"),
+                    f"{name}_{split}_{img_size}.sdb")
+                if not os.path.exists(cache):
+                    logger.info("building native sample store %s", cache)
+                    build_sample_store(dataset, cache, img_size=img_size)
+                loader = NativeDataLoader(
+                    cache, batch_size, mean=prep.mean, std=prep.std,
+                    shuffle=shuffle, drop_last=train, seed=seed)
+                logger.info("native loader: %d samples (%d batches)",
+                            loader.n, len(loader))
+                return loader, dataset
+        except Exception as e:
+            logger.warning("native loader unavailable (%s); python path", e)
+
     loader = DataLoader(dataset, batch_size, prep, shuffle=shuffle,
                         drop_last=train, seed=seed, num_threads=num_threads,
                         max_samples=max_samples)
