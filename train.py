@@ -32,6 +32,8 @@ def main(argv=None) -> int:
                         help="override trainer.num_epochs")
     parser.add_argument("--use-pallas", action="store_true",
                         help="use the fused Pallas codebook kernel")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the first epoch")
     args = parser.parse_args(argv)
 
     from vq_vae_gan_diffusion_tpu.config import load_config, validate
@@ -75,8 +77,18 @@ def main(argv=None) -> int:
         kwargs["use_pallas"] = args.use_pallas
     worker = worker_cls(**kwargs)
 
+    from vq_vae_gan_diffusion_tpu.utils import reproducibility
+    reproducibility(args.seed)
+
     epochs = args.epochs or int(config.trainer.num_epochs)
-    metrics = worker.train(train_loader, epochs, val_loader)
+    if args.profile:
+        import os
+
+        from vq_vae_gan_diffusion_tpu.utils.profiling import profile_steps
+        with profile_steps(os.path.join(run_dir, "profile")):
+            metrics = worker.train(train_loader, 1, val_loader)
+        epochs = max(epochs - 1, 0)
+    metrics = worker.train(train_loader, epochs, val_loader) if epochs else {}
     logger.info("training done: %s", metrics)
     return 0
 

@@ -126,6 +126,8 @@ VQ_STAGE1_MODELS = ("vqvae", "vqgan")
 TRANSFORMER_MODELS = ("vqvae_transformer", "vqgan_transformer")
 ALL_MODELS = VQ_STAGE1_MODELS + TRANSFORMER_MODELS + (
     "vqdiffusion",
+    "c_vqdiffusion",
+    "v_vqdiffusion",
     "gaussiandiffusion2d",
     "gaussiandiffusion3d",
     "vae",

@@ -23,4 +23,7 @@ def build_worker(model_name: str):
     if model_name == "gaussiandiffusion3d":
         from .gaussian_diffusion_workers import GaussianDiffusion3DWorker
         return GaussianDiffusion3DWorker
+    if model_name in ("c_vqdiffusion", "v_vqdiffusion"):
+        from .continuous_vq_worker import ContinuousVQDiffusionWorker
+        return ContinuousVQDiffusionWorker
     raise ValueError(f"unknown model_name {model_name!r}")

@@ -99,6 +99,9 @@ class BaseWorker:
             throughput = images_seen / max(dt, 1e-9)
             self.logger.info("epoch %d done in %.1fs (%.1f images/s) %s",
                              epoch, dt, throughput, last_metrics)
+            if epoch == 0:  # reference prints device memory after epoch 0
+                from ..utils import log_device_memory
+                log_device_memory(self.logger)
             self.metrics.write(self.global_step, {"epoch_time_s": dt,
                                                   "images_per_sec": throughput})
             self.save(epoch)
