@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Extended benchmark suite (BASELINE.md north-star metrics).
+
+``bench.py`` is the driver's single-line flagship metric; this suite measures
+the full set and writes BENCHMARKS.md:
+
+1. VQGAN train step, mnist-scale (batch 200 @ 28²·1, bf16) — images/s/chip
+2. VQGAN train step, Oxford-scale (batch 20 @ 256²·3, bf16) — images/s/chip
+3. 1000-step DDPM reverse chain (ShuffleNet U-Net, device-resident scan)
+   — denoise steps/s
+4. KV-cached AR sampling, 256 tokens, GPT 12L/16H/1024 — tokens/s
+5. Pallas vs XLA codebook nearest-neighbour — µs per 8192×1024×256 search
+
+All timings synchronize via host readback (block_until_ready does not fence on
+the axon backend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def readback(x):
+    import jax
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        readback(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    readback(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = {}
+
+    # 1+2: VQGAN train steps -------------------------------------------------
+    from vq_vae_gan_diffusion_tpu.config import load_config
+    from vq_vae_gan_diffusion_tpu.train.vqgan_worker import VQGANVQVAEWorker
+
+    for tag, cfg_path, batch, img, ch in [
+        ("vqgan_mnist28_b200", "configs/training_config_mnist.yml", 200, 28, 1),
+        ("vqgan_oxford256_b20", "configs/training_config_small.yml", 20, 256, 3),
+    ]:
+        cfg = load_config(cfg_path)
+        cfg = cfg.replace_path("architecture.model_name", "vqgan")
+        cfg = cfg.replace_path("trainer.log_dir", "/tmp/vqgd_bench")
+        w = VQGANVQVAEWorker(cfg, f"/tmp/vqgd_bench/{tag}", debug=True,
+                             dtype=jnp.bfloat16)
+        state = w.init_state()
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (batch, img, img, ch))
+        rng = jax.random.PRNGKey(1)
+
+        def step(state, i):
+            s, m = w.train_step(state, imgs, jax.random.fold_in(rng, i))
+            return s, m
+
+        # warmup both compile variants
+        state, m = step(state, 0); readback(m["vq_loss"])
+        state, m = step(state, 1); readback(m["vq_loss"])
+        t0 = time.perf_counter()
+        iters = 20 if img <= 64 else 5
+        for i in range(iters):
+            state, m = step(state, 10 + i)
+        readback(m["vq_loss"])
+        dt = (time.perf_counter() - t0) / iters
+        results[tag] = {"ms_per_step": round(dt * 1e3, 2),
+                        "images_per_sec": round(batch / dt, 1)}
+        print(tag, results[tag], flush=True)
+
+    # 3: DDPM 1000-step reverse scan ------------------------------------------
+    from vq_vae_gan_diffusion_tpu.diffusion.gaussian3d import GaussianDiffusion3D
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    T = 1000
+    unet = ShuffleUNet(T, 256, 1, 1, 64, (1, 2, 4, 8), dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = unet.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 256, 96, 1)), None,
+                              jnp.zeros((1,), jnp.int32), train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+    proc = GaussianDiffusion3D((256, 96), 1, T, T,
+                               lambda x, c, t: unet.apply(variables, x, None, t,
+                                                          train=False),
+                               "noise_mse", "ddpm")
+    sample16 = jax.jit(lambda rng: proc.ddpm_sample(rng, 16, False, True))
+    dt = timeit(sample16, jax.random.PRNGKey(0), iters=2, warmup=1)
+    results["ddpm_1000step_sampling_b16"] = {
+        "seconds_per_chain": round(dt, 2),
+        "denoise_steps_per_sec": round(T / dt, 1)}
+    print("ddpm", results["ddpm_1000step_sampling_b16"], flush=True)
+
+    # 4: KV-cached AR sampling -------------------------------------------------
+    from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens
+
+    gpt = GPT(vocab_size=1024, block_size=512, n_layer=12, n_head=16,
+              n_embd=1024, dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        gp = gpt.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 257), jnp.int32))["params"]
+    gp = jax.device_put(gp, jax.devices()[0])
+    B, steps = 16, 256
+    sos = jnp.zeros((B, 1), jnp.int32)
+    sample_fn = jax.jit(lambda p, rng: sample_tokens(gpt, p, rng, sos, 1, steps))
+    dt = timeit(sample_fn, gp, jax.random.PRNGKey(0), iters=3, warmup=1)
+    results["gpt_ar_sampling_256tok_b16"] = {
+        "seconds": round(dt, 3),
+        "tokens_per_sec": round(B * steps / dt, 1)}
+    print("ar", results["gpt_ar_sampling_256tok_b16"], flush=True)
+
+    # 5: codebook kernels -------------------------------------------------------
+    from vq_vae_gan_diffusion_tpu.models.codebook import nearest_codebook_indices
+    from vq_vae_gan_diffusion_tpu.ops.codebook_pallas import nearest_indices_pallas
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (8192, 256))
+    cb = jax.random.normal(jax.random.PRNGKey(1), (1024, 256))
+    f_xla = jax.jit(nearest_codebook_indices)
+    dt_xla = timeit(f_xla, z, cb, iters=50, warmup=3)
+    dt_pl = timeit(nearest_indices_pallas, z, cb, iters=50, warmup=3)
+    results["codebook_argmin_8192x1024x256"] = {
+        "xla_us": round(dt_xla * 1e6, 1), "pallas_us": round(dt_pl * 1e6, 1),
+        "pallas_speedup": round(dt_xla / dt_pl, 2)}
+    print("codebook", results["codebook_argmin_8192x1024x256"], flush=True)
+
+    # report ---------------------------------------------------------------------
+    lines = ["# BENCHMARKS — measured on 1× TPU v5e (axon)", "",
+             f"date: {time.strftime('%Y-%m-%d %H:%M')}",
+             f"jax: {jax.__version__}, backend: {jax.default_backend()}", "",
+             "| metric | value |", "|---|---|"]
+    for k, v in results.items():
+        lines.append(f"| {k} | {json.dumps(v)} |")
+    lines.append("")
+    lines.append("Reference baseline (same VQGAN step via the reference's torch "
+                 "modules on this host's CPU): 10.9 images/s "
+                 "(`baselines/torch_cpu_reference.json`).")
+    with open("BENCHMARKS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

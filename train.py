@@ -34,6 +34,8 @@ def main(argv=None) -> int:
                         help="use the fused Pallas codebook kernel")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the first epoch")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (params stay f32)")
     args = parser.parse_args(argv)
 
     from vq_vae_gan_diffusion_tpu.config import load_config, validate
@@ -71,8 +73,10 @@ def main(argv=None) -> int:
         val_loader = None
 
     worker_cls = build_worker(model_name)
+    import jax.numpy as jnp
     kwargs = dict(config=config, run_dir=run_dir, logger=logger, mesh=mesh,
-                  debug=args.debug, seed=args.seed)
+                  debug=args.debug, seed=args.seed,
+                  dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     if model_name in ("vqvae", "vqgan", "vqvae_transformer", "vqgan_transformer"):
         kwargs["use_pallas"] = args.use_pallas
     worker = worker_cls(**kwargs)

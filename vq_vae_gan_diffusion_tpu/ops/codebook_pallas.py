@@ -23,9 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measured on v5e (N=8192, K=1024, D=256): TILE_N=512 → 0.10 ms,
-# TILE_N=1024 → 0.018 ms (vs 0.027 ms for the XLA reference path) — the larger
-# tile amortizes pipeline overheads and keeps the MXU busy.
+# Measured on v5e (N=8192, K=1024, D=256), synchronized via host readback
+# (block_until_ready does not fence on the axon tunnel): fused kernel ≈ 0.88 ms
+# vs XLA path ≈ 0.86 ms — parity within the tunnel's ~0.7 ms readback RTT noise
+# floor; the device-side op is far smaller than either number and is <1% of a
+# stage-1 train step. The kernel's value is the HBM-traffic bound (the [N, K]
+# distance matrix never leaves VMEM), which matters as K·N grows.
 TILE_N = 1024
 
 
