@@ -76,3 +76,15 @@ def test_simple_unet_shapes(rng):
     params = model.init(rng, x, None, t)
     out = model.apply(params, x, None, t)
     assert out.shape == (2, 16, 16, 1)
+
+
+def test_shuffle_unet_odd_sizes(rng):
+    """Odd spatial sizes (mnist's 7²-token grid) must round-trip; the
+    reference's fixed ×2 upsample crashes here (unet3d.py:115)."""
+    model = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                        out_channels=1, base_dim=16, dim_mults=(1, 2, 4, 8))
+    x = jax.random.normal(rng, (2, 49, 96, 1))
+    t = jnp.array([1, 9])
+    variables = model.init(rng, x, None, t, train=False)
+    out = model.apply(variables, x, None, t, train=False)
+    assert out.shape == (2, 49, 96, 1)

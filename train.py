@@ -79,6 +79,10 @@ def main(argv=None) -> int:
                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     if model_name in ("vqvae", "vqgan", "vqvae_transformer", "vqgan_transformer"):
         kwargs["use_pallas"] = args.use_pallas
+    if model_name in ("vqdiffusion", "gaussiandiffusion3d"):
+        # OneCycleLR total_steps = epochs × iters/epoch (reference
+        # vqdiffusionWorker.py:121-122)
+        kwargs["num_iters_per_epoch"] = max(len(train_loader), 1)
     worker = worker_cls(**kwargs)
 
     from vq_vae_gan_diffusion_tpu.utils import reproducibility

@@ -151,7 +151,11 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, shortcut, t_emb=None, *, train: bool = True):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        # resize directly to the skip's spatial size: equals ×2 bilinear for
+        # even sizes and handles odd sizes (e.g. mnist's 7²-token grid) that
+        # crash the reference's fixed scale_factor=2 upsample (unet3d.py:115)
+        sh, sw = shortcut.shape[1], shortcut.shape[2]
+        x = jax.image.resize(x, (b, sh, sw, c), method="bilinear")
         x = jnp.concatenate([x, shortcut], axis=-1)
         c = x.shape[-1]
         for i in range(3):
