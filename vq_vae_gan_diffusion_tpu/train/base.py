@@ -68,6 +68,16 @@ class BaseWorker:
         self.state = tree["state"]
         self.global_step = int(tree["step"])
 
+    def place_on_mesh(self) -> None:
+        """Replicate trainer state (and any extra device trees) on the mesh so
+        jit sees consistent shardings when batches are 'data'-sharded. Workers
+        with extra device-resident trees (e.g. LPIPS params) extend this."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, repl)
+        self.rng = jax.device_put(self.rng, repl)
+
     # -- shared loop ---------------------------------------------------------
     def next_rng(self) -> jax.Array:
         self.rng, sub = jax.random.split(self.rng)
@@ -77,6 +87,23 @@ class BaseWorker:
               val_loader: Optional[Iterable] = None) -> Dict[str, float]:
         if self.state is None:
             self.state = self.init_state()
+        if self.mesh.devices.size > 1:
+            self.place_on_mesh()
+        # preemption-safe: checkpoint on SIGTERM (TPU VMs get preempted);
+        # the reference's only recovery story was resume-from-checkpoint
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self.logger.warning("SIGTERM: writing checkpoint before exit")
+            try:
+                self.save(epoch=-1)
+            finally:
+                raise SystemExit(143)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread
+            prev_handler = None
         num_batches = len(dataloader) if hasattr(dataloader, "__len__") else 100
         save_step = adaptive_save_step(num_batches)
         last_metrics: Dict[str, float] = {}
@@ -112,6 +139,8 @@ class BaseWorker:
                     pass
             if self.debug:
                 break
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         return last_metrics
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:

@@ -273,6 +273,12 @@ class VQGANVQVAEWorker(BaseWorker):
             self.logger.info("VQVAE resumed from %s", resume)
         return state
 
+    def place_on_mesh(self) -> None:
+        super().place_on_mesh()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.lpips_params = jax.device_put(self.lpips_params,
+                                           NamedSharding(self.mesh, P()))
+
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng, self.lpips_params)
 
