@@ -47,9 +47,24 @@ def _kernel(z_ref, cb_ref, cb_sq_ref, out_ref):
     out_ref[:] = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.custom_jvp
 def nearest_indices_pallas(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
     """[N, D] × [K, D] → [N] int32 nearest-codebook indices."""
+    return _nearest_indices_impl(z_flat, codebook)
+
+
+@nearest_indices_pallas.defjvp
+def _nearest_indices_jvp(primals, tangents):
+    # integer argmin output: no tangent (pallas_call has no autodiff rule, so
+    # we declare the op non-differentiable explicitly)
+    import numpy as _np
+    out = _nearest_indices_impl(*primals)
+    zero = _np.zeros(out.shape, jax.dtypes.float0)
+    return out, zero
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _nearest_indices_impl(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
     n, d = z_flat.shape
     k = codebook.shape[0]
     n_pad = _round_up(max(n, 8), TILE_N)

@@ -87,7 +87,7 @@ class VQTransformerWorker(BaseWorker):
         vq = self.composite.vqvae
         dummy = jnp.zeros((1, vq.img_size, vq.img_size, vq.img_channels), jnp.float32)
         with jax.default_device(jax.devices("cpu")[0]):
-            vq_params = vq.init(rng, dummy)["params"]
+            vq_params = vq.clone(use_pallas=False).init(rng, dummy)["params"]
         vq_params = jax.device_put(vq_params, jax.devices()[0])
         # resume frozen stage-1 weights (reference resume_path semantics)
         resume = self.config.architecture.vqvae.get("resume_path")

@@ -246,8 +246,9 @@ class VQGANVQVAEWorker(BaseWorker):
         rng = jax.random.PRNGKey(self.seed)
         img = self.model.img_size
         dummy = jnp.zeros((1, img, img, self.model.img_channels), jnp.float32)
+        init_model = self.model.clone(use_pallas=False)  # pallas can't lower on CPU
         with jax.default_device(jax.devices("cpu")[0]):  # fast cached init
-            vq_params = self.model.init(rng, dummy)["params"]
+            vq_params = init_model.init(rng, dummy)["params"]
             if self.is_gan:
                 dv = self.disc.init(rng, dummy, train=False)
                 disc_params, disc_stats = dv["params"], dv.get("batch_stats", {})
