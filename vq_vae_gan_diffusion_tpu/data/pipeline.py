@@ -26,7 +26,7 @@ import logging
 import os
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 

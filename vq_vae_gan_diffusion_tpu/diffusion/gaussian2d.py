@@ -23,14 +23,13 @@ The lookup table is a fixed buffer, passed in as part of the process state.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .gaussian import (GaussianSchedule, _extract, ddim_times, make_schedule,
-                       model_predictions, predict_start_from_noise, q_posterior,
-                       q_sample)
+from .gaussian import (ddim_times, make_schedule, model_predictions,
+                       q_posterior, q_sample)
 
 
 class GaussianDiffusion2DConfig(NamedTuple):

@@ -30,13 +30,13 @@ Layout: the diffusion state is [B, seq_len, gaussian_dim, 1] (NHWC).
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .gaussian import GaussianSchedule, _extract, ddim_times, make_schedule
+from .gaussian import _extract, make_schedule
 
 
 def positional_encoding_table(dim: int, num_vectors: int) -> np.ndarray:

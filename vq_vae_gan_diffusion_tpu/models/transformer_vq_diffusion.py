@@ -23,14 +23,14 @@ surface):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..diffusion.discrete import (LOG_EPS, DiscreteDiffusion, LtState,
-                                  index_to_log_onehot, log_onehot_to_index)
+from ..diffusion.discrete import (DiscreteDiffusion, LtState,
+                                  log_onehot_to_index)
 
 
 class AdaLNTransformerBlock(nn.Module):

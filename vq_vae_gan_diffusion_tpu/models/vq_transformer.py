@@ -19,7 +19,7 @@ the reference's requires_grad=False freeze, vqvae.py:96-113).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

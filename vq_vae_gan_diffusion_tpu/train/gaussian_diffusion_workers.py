@@ -18,7 +18,7 @@ EMA (:63-66), sampling via the EMA weights (:156-158).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp

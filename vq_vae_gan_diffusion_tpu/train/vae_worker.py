@@ -11,7 +11,7 @@ not latent elements; reproduced. Adam(lr, β=(0.5, 0.9), eps 1e-8)
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp

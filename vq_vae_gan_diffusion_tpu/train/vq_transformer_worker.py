@@ -12,7 +12,7 @@
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp

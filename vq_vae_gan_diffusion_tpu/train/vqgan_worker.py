@@ -33,7 +33,6 @@ channel of the denormalized image > 20/255, multiplies the perceptual+rec map.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Dict, Optional, Tuple
 

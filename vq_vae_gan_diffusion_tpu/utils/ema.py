@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 
 
 def ema_update(ema_params: Any, params: Any, decay: float | jax.Array) -> Any:

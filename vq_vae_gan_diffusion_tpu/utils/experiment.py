@@ -25,7 +25,6 @@ import shutil
 import time
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 
