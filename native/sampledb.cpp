@@ -83,6 +83,7 @@ struct Prefetcher {
   AugmentSpec spec;
   uint64_t batch_size = 0;
   uint64_t seed = 0;
+  uint64_t n_limit = 0;  // 0 = whole store; else epoch = first n_limit samples
   bool shuffle = true;
   bool drop_last = true;
   int epoch = 0;
@@ -94,31 +95,45 @@ struct Prefetcher {
   size_t max_ready = 4;
   std::atomic<bool> stop{false};
 
-  // work queue: batch start offsets of the current epoch
+  // work queue: batch start offsets of the current epoch. All epoch state
+  // (order/epoch/batches_per_epoch/next_batch) is guarded by mu; `generation`
+  // increments on every reset so in-flight workers can detect that the batch
+  // they materialized belongs to an abandoned epoch and must be dropped
+  // (otherwise a stale batch could be served as the first batch of the new
+  // epoch — see ADVICE.md round 1).
   std::vector<uint64_t> order;
-  std::atomic<uint64_t> next_batch{0};
+  uint64_t next_batch = 0;
   uint64_t batches_per_epoch = 0;
+  uint64_t generation = 0;
 };
 
 void worker_loop(Prefetcher* p) {
   const Store& s = *p->store;
   const size_t elems = p->batch_size * s.sample_bytes();
+  std::vector<uint64_t> idxs;
   while (!p->stop.load()) {
-    uint64_t b = p->next_batch.fetch_add(1);
-    if (b >= p->batches_per_epoch) {
-      // wait until reset() starts a new epoch
+    uint64_t gen, epoch, count;
+    {
+      // claim a batch and snapshot its sample indices under the lock so a
+      // concurrent reset() reshuffle can't be observed mid-read
       std::unique_lock<std::mutex> lk(p->mu);
-      p->cv_space.wait_for(lk, std::chrono::milliseconds(20));
-      continue;
+      if (p->next_batch >= p->batches_per_epoch) {
+        // wait until reset() starts a new epoch
+        p->cv_space.wait_for(lk, std::chrono::milliseconds(20));
+        continue;
+      }
+      const uint64_t b = p->next_batch++;
+      gen = p->generation;
+      epoch = (uint64_t)p->epoch;
+      const uint64_t start = b * p->batch_size;
+      count = std::min<uint64_t>(p->batch_size, p->order.size() - start);
+      idxs.assign(p->order.begin() + start, p->order.begin() + start + count);
     }
     Batch* out = new Batch();
     out->buf.resize(elems);
-    const uint64_t start = b * p->batch_size;
-    const uint64_t count =
-        std::min<uint64_t>(p->batch_size, p->order.size() - start);
     for (uint64_t i = 0; i < count; ++i) {
-      materialize(s, p->order[start + i], p->spec,
-                  p->seed * 1000003ULL + (uint64_t)p->epoch * 7919ULL,
+      materialize(s, idxs[i], p->spec,
+                  p->seed * 1000003ULL + epoch * 7919ULL,
                   out->buf.data() + i * s.sample_bytes());
     }
     // pad final partial batch by repeating the last sample
@@ -131,6 +146,7 @@ void worker_loop(Prefetcher* p) {
     p->cv_space.wait(lk, [p] { return p->ready.size() < p->max_ready ||
                                        p->stop.load(); });
     if (p->stop.load()) { delete out; return; }
+    if (p->generation != gen) { delete out; continue; }  // epoch was reset
     p->ready.push(out);
     p->cv_ready.notify_one();
   }
@@ -145,15 +161,28 @@ void* sdb_open(const char* path) {
   if (fd < 0) return nullptr;
   struct stat st;
   if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+  // reject truncated/corrupt files (e.g. an interrupted build_sample_store)
+  // before dereferencing the header or trusting its sizes
+  if (st.st_size < (off_t)(5 * sizeof(uint64_t))) { ::close(fd); return nullptr; }
   void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   if (base == MAP_FAILED) { ::close(fd); return nullptr; }
   const uint64_t* hdr = reinterpret_cast<const uint64_t*>(base);
   if (hdr[0] != kMagic) { munmap(base, st.st_size); ::close(fd); return nullptr; }
+  const uint64_t n = hdr[1], h = hdr[2], w = hdr[3], c = hdr[4];
+  // overflow-safe n*h*w*c check against the actual file size
+  const uint64_t avail = (uint64_t)st.st_size - 5 * sizeof(uint64_t);
+  bool ok = h > 0 && w > 0 && c > 0;
+  if (ok) {
+    const uint64_t sb_max = n ? avail / n : avail;
+    ok = h <= sb_max && (h == 0 || w <= sb_max / h) &&
+         (h * w == 0 || c <= sb_max / (h * w)) && n * h * w * c <= avail;
+  }
+  if (!ok) { munmap(base, st.st_size); ::close(fd); return nullptr; }
   Store* s = new Store();
   s->fd = fd;
   s->base = reinterpret_cast<const uint8_t*>(base);
   s->mapped = st.st_size;
-  s->n = hdr[1]; s->h = hdr[2]; s->w = hdr[3]; s->c = hdr[4];
+  s->n = n; s->h = h; s->w = w; s->c = c;
   return s;
 }
 
@@ -200,7 +229,7 @@ void* sdb_prefetcher_create(void* handle, uint64_t batch_size,
                             const float* mean, const float* stdv,
                             uint64_t c_stats, float p_hflip, float p_vflip,
                             uint64_t seed, int shuffle, int drop_last,
-                            int num_threads) {
+                            int num_threads, uint64_t n_limit) {
   Store* s = reinterpret_cast<Store*>(handle);
   Prefetcher* p = new Prefetcher();
   p->store = s;
@@ -211,10 +240,10 @@ void* sdb_prefetcher_create(void* handle, uint64_t batch_size,
   p->spec.p_hflip = p_hflip; p->spec.p_vflip = p_vflip;
   p->batch_size = batch_size;
   p->seed = seed;
+  p->n_limit = n_limit;
   p->shuffle = shuffle != 0;
   p->drop_last = drop_last != 0;
-  p->batches_per_epoch = 0;
-  p->next_batch.store(1ULL << 62);  // idle until reset
+  p->batches_per_epoch = 0;  // idle until reset
   const int nt = num_threads > 0 ? num_threads
                                  : (int)std::thread::hardware_concurrency();
   for (int i = 0; i < nt; ++i) p->workers.emplace_back(worker_loop, p);
@@ -225,13 +254,19 @@ void* sdb_prefetcher_create(void* handle, uint64_t batch_size,
 uint64_t sdb_prefetcher_reset(void* handle, int epoch) {
   Prefetcher* p = reinterpret_cast<Prefetcher*>(handle);
   std::unique_lock<std::mutex> lk(p->mu);
-  // drain leftovers
+  // invalidate any batch a worker is materializing right now (it will be
+  // dropped at push time when its generation no longer matches), then drain
+  // already-queued leftovers from the abandoned epoch
+  p->generation++;
   while (!p->ready.empty()) { delete p->ready.front(); p->ready.pop(); }
   p->epoch = epoch;
-  const uint64_t n = p->store->n;
+  // honor max_samples: the epoch covers the first n_limit store indices,
+  // matching the Python DataLoader's subset semantics (pipeline.py)
+  uint64_t n = p->store->n;
+  if (p->n_limit > 0 && p->n_limit < n) n = p->n_limit;
   p->order.resize(n);
   for (uint64_t i = 0; i < n; ++i) p->order[i] = i;
-  if (p->shuffle) {
+  if (p->shuffle && n > 1) {
     std::mt19937_64 rng(p->seed + (uint64_t)epoch);
     for (uint64_t i = n - 1; i > 0; --i) {
       std::uniform_int_distribution<uint64_t> d(0, i);
@@ -240,7 +275,7 @@ uint64_t sdb_prefetcher_reset(void* handle, int epoch) {
   }
   p->batches_per_epoch = p->drop_last ? n / p->batch_size
                                       : (n + p->batch_size - 1) / p->batch_size;
-  p->next_batch.store(0);
+  p->next_batch = 0;
   p->cv_space.notify_all();
   return p->batches_per_epoch;
 }

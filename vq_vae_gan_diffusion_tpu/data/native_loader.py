@@ -59,7 +59,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_uint64, ctypes.c_float,
         ctypes.c_float, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_uint64]
     lib.sdb_prefetcher_reset.restype = ctypes.c_uint64
     lib.sdb_prefetcher_reset.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sdb_prefetcher_next.restype = ctypes.c_int
@@ -139,17 +139,20 @@ class NativeDataLoader:
     def __init__(self, store_path: str, batch_size: int, mean=(0.5,),
                  std=(0.5,), p_hflip: float = 0.0, p_vflip: float = 0.0,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
-                 num_threads: int = 0):
+                 num_threads: int = 0, max_samples: Optional[int] = None):
         self.lib = _load()
         self.store = SampleStore(store_path)
         self.batch_size = batch_size
         m, cm = _stats(mean)
         s, _ = _stats(std)
+        limit = int(max_samples) if max_samples else 0
         self.pf = self.lib.sdb_prefetcher_create(
             self.store.handle, batch_size, m, s, cm, p_hflip, p_vflip, seed,
-            1 if shuffle else 0, 1 if drop_last else 0, num_threads)
+            1 if shuffle else 0, 1 if drop_last else 0, num_threads, limit)
         self._epoch = 0
-        self.n = self.store.n
+        # epoch size honors max_samples (same subset semantics as the Python
+        # DataLoader: first `max_samples` indices, shuffled per epoch)
+        self.n = min(self.store.n, limit) if limit else self.store.n
         self.drop_last = drop_last
 
     def __len__(self) -> int:

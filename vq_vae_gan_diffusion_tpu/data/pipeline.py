@@ -201,7 +201,8 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
                     build_sample_store(dataset, cache, img_size=img_size)
                 loader = NativeDataLoader(
                     cache, batch_size, mean=prep.mean, std=prep.std,
-                    shuffle=shuffle, drop_last=train, seed=seed)
+                    shuffle=shuffle, drop_last=train, seed=seed,
+                    max_samples=max_samples)
                 logger.info("native loader: %d samples (%d batches)",
                             loader.n, len(loader))
                 return loader, dataset

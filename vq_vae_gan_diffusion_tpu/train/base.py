@@ -48,6 +48,8 @@ class BaseWorker:
         self.mean, self.std = mean[:ch] or [0.5], std[:ch] or [0.5]
         self.dataset_name = ds
         self.state: Any = None
+        self._sigterm = False
+        self._in_save = False
 
     # -- subclass API ------------------------------------------------------
     def init_state(self) -> Any:
@@ -90,10 +92,19 @@ class BaseWorker:
         if self.mesh.devices.size > 1:
             self.place_on_mesh()
         # preemption-safe: checkpoint on SIGTERM (TPU VMs get preempted);
-        # the reference's only recovery story was resume-from-checkpoint
+        # the reference's only recovery story was resume-from-checkpoint.
+        # The handler must NOT write from async-signal context while a regular
+        # save() is mid-write (re-entrant orbax manager write can corrupt the
+        # checkpoint dir) — so it only sets a flag when a save is in flight and
+        # the write happens at the next loop-iteration boundary.
         import signal
 
         def _on_sigterm(signum, frame):
+            self._sigterm = True
+            if self._in_save:
+                self.logger.warning(
+                    "SIGTERM during checkpoint write: exiting at next step boundary")
+                return
             self.logger.warning("SIGTERM: writing checkpoint before exit")
             try:
                 self.save(epoch=-1)
@@ -114,6 +125,9 @@ class BaseWorker:
                 batch = shard_batch(np.asarray(batch), self.mesh)
                 self.state, metrics = self.train_step(self.state, batch, self.next_rng())
                 self.global_step += 1
+                if self._sigterm:  # deferred preemption exit (handler hit mid-save)
+                    self.save(epoch=-1)
+                    raise SystemExit(143)
                 images_seen += batch.shape[0]
                 if index % max(1, save_step // 5) == 0:
                     last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -149,7 +163,11 @@ class BaseWorker:
     def save(self, epoch: int = 0) -> None:
         tree = self.checkpoint_tree()
         tree["epoch"] = epoch
-        save_checkpoint(self.save_ckpt_dir, self.global_step, tree)
+        self._in_save = True
+        try:
+            save_checkpoint(self.save_ckpt_dir, self.global_step, tree)
+        finally:
+            self._in_save = False
 
     def load(self, ckpt_dir: Optional[str] = None) -> None:
         tree = restore_checkpoint(ckpt_dir or self.save_ckpt_dir,
