@@ -28,7 +28,7 @@ import time
 BATCH = 200
 IMG = 28
 WARMUP = 3
-ITERS = 20
+ITERS = 100  # scan length; fixed dispatch cost amortizes to <0.3 ms/step
 
 
 def build():
@@ -51,6 +51,7 @@ def build():
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
     from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -67,9 +68,19 @@ def main() -> int:
         state, metrics = worker.train_step(state, imgs, jax.random.fold_in(rng, i))
         float(np.asarray(metrics["vq_loss"]))
 
+    # measured path: the device-side multi-step loop (train/base.py
+    # train_multi_step — lax.scan over ITERS steps, one dispatch), i.e. the
+    # same path train.py uses with trainer.steps_per_dispatch=ITERS. Per-call
+    # dispatch overhead on tunneled backends scales with pytree leaf count
+    # (~60 µs/leaf × 891 leaves ≈ 13 ms — more than the step's compute), so
+    # per-step dispatch would measure the tunnel, not the TPU.
+    batches = jnp.broadcast_to(imgs, (ITERS,) + imgs.shape)
+    rngs = jax.random.split(jax.random.fold_in(rng, 777), ITERS)
+    state, metrics = worker.train_multi_step(state, batches, rngs)  # compile
+    float(np.asarray(metrics["vq_loss"]))
+
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = worker.train_step(state, imgs, jax.random.fold_in(rng, 100 + i))
+    state, metrics = worker.train_multi_step(state, batches, rngs)
     float(np.asarray(metrics["vq_loss"]))  # sync
     dt = time.perf_counter() - t0
 

@@ -282,6 +282,9 @@ class VQGANVQVAEWorker(BaseWorker):
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng, self.lpips_params)
 
+    def _step_extras(self) -> tuple:
+        return (self.lpips_params,)
+
     # -- artifacts -----------------------------------------------------------
     def reconstruct(self, imgs: jax.Array) -> jax.Array:
         decoded, _, _ = self.model.apply({"params": self.state.vqvae_params}, imgs)
