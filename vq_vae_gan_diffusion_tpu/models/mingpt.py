@@ -129,6 +129,10 @@ class GPT(nn.Module):
     resid_pdrop: float = 0.0
     attn_pdrop: float = 0.0
     dtype: Dtype = jnp.float32
+    # rematerialize each block's activations in backward (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(n_layer) less activation HBM —
+    # the knob that lets >1B-param priors train under FSDP without OOM
+    remat: bool = False
 
     def setup(self):
         self.tok_emb = nn.Embed(self.vocab_size, self.n_embd,
@@ -150,8 +154,13 @@ class GPT(nn.Module):
         assert t <= self.block_size, "block size exhausted"
         x = self.tok_emb(idx) + self.pos_emb[:, :t, :].astype(self.dtype)
         x = self.drop(x, deterministic=deterministic)
+
+        def run_block(block, y):
+            return block(y, deterministic=deterministic)
+        if self.remat:
+            run_block = nn.remat(run_block)
         for block in self.blocks:
-            x = block(x, deterministic=deterministic)
+            x = run_block(block, x)
         x = self.ln_f(x)
         return self.head(x)
 

@@ -45,6 +45,7 @@ class VQTransformer:
             n_head=int(tcfg.n_head),
             n_embd=int(tcfg.n_embd),
             dtype=dtype,
+            remat=bool(tcfg.get("remat", False)),
         )
         self.seq_len = self.vqvae.latent_size ** 2
 

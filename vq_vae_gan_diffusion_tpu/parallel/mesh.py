@@ -94,6 +94,44 @@ def gpt_param_sharding_rules(path: tuple, value: Any) -> P:
     return P()
 
 
+def fsdp_param_sharding_rules(mesh: Mesh, min_size: int = 2 ** 14,
+                              base_rules=None):
+    """FSDP-style parameter sharding: every large leaf is sharded over the
+    'data' axis on its largest evenly-divisible dimension.
+
+    Params (and, through jit propagation, optimizer moments) then live
+    sharded in HBM at 1/|data| of their replicated footprint; XLA inserts
+    all-gathers when a weight is consumed and reduce-scatters on its gradient
+    — the ZeRO-3 recipe expressed purely as shardings ("How to Scale Your
+    Model" mesh recipe; no reference analogue — the reference is
+    single-device, SURVEY §2.7).
+
+    ``base_rules`` (e.g. :func:`gpt_param_sharding_rules`) runs first; any
+    dimension it assigned (tensor parallel) is kept, and FSDP picks a
+    *different* dimension, giving tp×fsdp composition. Leaves smaller than
+    ``min_size`` stay replicated (sharding tiny tensors costs more in
+    collective latency than it saves).
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def rules(path, value) -> P:
+        base = tuple(base_rules(path, value)) if base_rules else ()
+        spec = list(base) + [None] * (value.ndim - len(base))
+        if n <= 1 or value.size < min_size:
+            return P(*spec) if any(s is not None for s in spec) else P()
+        dims = sorted(range(value.ndim), key=lambda d: value.shape[d],
+                      reverse=True)
+        for d in dims:
+            if spec[d] is None and value.shape[d] % n == 0 and value.shape[d] >= 2 * n:
+                spec[d] = DATA_AXIS
+                break
+        if not any(s is not None for s in spec):
+            return P()
+        return P(*spec)
+
+    return rules
+
+
 def apply_param_sharding(params: Any, mesh: Mesh, rules=gpt_param_sharding_rules) -> Any:
     """device_put a param pytree with per-leaf PartitionSpecs from `rules`."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -102,3 +140,21 @@ def apply_param_sharding(params: Any, mesh: Mesh, rules=gpt_param_sharding_rules
         spec = rules(path, leaf)
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def resolve_sharding_rules(mode: str, mesh: Mesh, base_rules=gpt_param_sharding_rules):
+    """Map a config string to param-sharding rules.
+
+    ``replicated`` → None (params replicated), ``tp`` → tensor parallel over
+    'model', ``fsdp`` → ZeRO-3 over 'data', ``tp_fsdp`` → both composed.
+    """
+    mode = (mode or "replicated").lower()
+    if mode in ("replicated", "none", ""):
+        return None
+    if mode == "tp":
+        return base_rules
+    if mode == "fsdp":
+        return fsdp_param_sharding_rules(mesh)
+    if mode in ("tp_fsdp", "fsdp_tp"):
+        return fsdp_param_sharding_rules(mesh, base_rules=base_rules)
+    raise ValueError(f"unknown param_sharding mode {mode!r}")

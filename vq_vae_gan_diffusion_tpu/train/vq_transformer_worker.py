@@ -57,6 +57,15 @@ class VQTransformerWorker(BaseWorker):
         b1, b2 = float(tr.get("beta1", 0.9)), float(tr.get("beta2", 0.95))
         self.opt = optax.adamw(lr, b1=b1, b2=b2, weight_decay=0.01,
                                mask=mingpt_decay_mask)
+        # generic gradient accumulation (the reference only wired
+        # gradient_accumulate_every into the gaussian-2d worker; here it is a
+        # trainer knob for every family)
+        ga = int(tr.get("gradient_accumulate_every", 1) or 1)
+        if ga > 1:
+            self.opt = optax.MultiSteps(self.opt, every_k_schedule=ga)
+        self.param_sharding_mode = str(
+            tr.get("param_sharding", config.trainer.get("param_sharding",
+                                                        "replicated")))
         composite, opt = self.composite, self.opt
 
         @jax.jit
@@ -108,6 +117,30 @@ class VQTransformerWorker(BaseWorker):
         return TransformerState(gpt_params=gpt_params, vq_params=vq_params,
                                 opt_state=self.opt.init(gpt_params),
                                 step=jnp.zeros((), jnp.int32))
+
+    def place_on_mesh(self) -> None:
+        """GPT params follow ``trainer.<model>.param_sharding``
+        (replicated | tp | fsdp | tp_fsdp); the frozen VQVAE stays replicated.
+        Optimizer moments mirror the param tree (their leaf paths carry the
+        param path as a suffix), so the same rules shard them identically —
+        sharding propagation can't do it (opt.init's zeros_like has no
+        dataflow dependency on the params)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import apply_param_sharding, resolve_sharding_rules
+
+        rules = resolve_sharding_rules(self.param_sharding_mode, self.mesh)
+        if rules is None:
+            super().place_on_mesh()
+            return
+        repl = NamedSharding(self.mesh, P())
+        gpt_params = apply_param_sharding(self.state.gpt_params, self.mesh, rules)
+        self.state = self.state.replace(
+            gpt_params=gpt_params,
+            vq_params=jax.device_put(self.state.vq_params, repl),
+            opt_state=apply_param_sharding(self.state.opt_state, self.mesh, rules),
+            step=jax.device_put(self.state.step, repl))
+        self.rng = jax.device_put(self.rng, repl)
 
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng)
