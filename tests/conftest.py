@@ -7,14 +7,21 @@ devices. Must set the env vars before jax initializes.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"  # the axon TPU plugin ignores JAX_PLATFORMS
+# jax is PRELOADED by sitecustomize on this image, so env-var platform hints
+# (JAX_PLATFORM_NAME/JAX_PLATFORMS) read at import time are already consumed.
+# Backends initialize lazily though: XLA_FLAGS (read at backend creation) and
+# jax.config.update('jax_platforms') still take effect here — this is the
+# reliable way to pin the suite to the virtual 8-device CPU mesh.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend())
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
