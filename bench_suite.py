@@ -66,17 +66,21 @@ def main() -> int:
         imgs = jax.random.normal(jax.random.PRNGKey(0), (batch, img, img, ch))
         rng = jax.random.PRNGKey(1)
 
-        def step(state, i):
-            s, m = w.train_step(state, imgs, jax.random.fold_in(rng, i))
-            return s, m
-
         # warmup both compile variants
-        state, m = step(state, 0); readback(m["vq_loss"])
-        state, m = step(state, 1); readback(m["vq_loss"])
+        state, m = w.train_step(state, imgs, jax.random.fold_in(rng, 0))
+        readback(m["vq_loss"])
+        state, m = w.train_step(state, imgs, jax.random.fold_in(rng, 1))
+        readback(m["vq_loss"])
+        # measured path: device-side multi-step loop (train_multi_step) — the
+        # per-dispatch host overhead scales with state leaf count, so per-step
+        # dispatch would measure the tunnel, not the chip
+        iters = 50 if img <= 64 else 10
+        batches = jnp.broadcast_to(imgs, (iters,) + imgs.shape)
+        rngs = jax.random.split(rng, iters)
+        state, m = w.train_multi_step(state, batches, rngs)
+        readback(m["vq_loss"])
         t0 = time.perf_counter()
-        iters = 20 if img <= 64 else 5
-        for i in range(iters):
-            state, m = step(state, 10 + i)
+        state, m = w.train_multi_step(state, batches, rngs)
         readback(m["vq_loss"])
         dt = (time.perf_counter() - t0) / iters
         results[tag] = {"ms_per_step": round(dt * 1e3, 2),
@@ -94,9 +98,15 @@ def main() -> int:
                               jnp.zeros((1, 256, 96, 1)), None,
                               jnp.zeros((1,), jnp.int32), train=False)
     variables = jax.device_put(variables, jax.devices()[0])
+    # BN-folded shift-add inference forward (models/shuffle_infer.py) — the
+    # production sampling path (trainer.fused_sampler, default on)
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    folded = fold_unet(variables, dtype=jnp.bfloat16)
     proc = GaussianDiffusion3D((256, 96), 1, T, T,
-                               lambda x, c, t: unet.apply(variables, x, None, t,
-                                                          train=False),
+                               lambda x, c, t: apply_folded(
+                                   folded, x, t, use_pallas=False,
+                                   dtype=jnp.bfloat16).astype(x.dtype),
                                "noise_mse", "ddpm")
     sample16 = jax.jit(lambda rng: proc.ddpm_sample(rng, 16, False, True))
     dt = timeit(sample16, jax.random.PRNGKey(0), iters=2, warmup=1)

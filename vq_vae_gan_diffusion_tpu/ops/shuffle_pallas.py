@@ -1,0 +1,261 @@
+"""Fused Pallas TPU kernels for ShuffleNet-v2 bottleneck units (inference).
+
+Why: the DDPM sampling chain (reference unet3d.py inside
+diffusion_gaussian3d.py's 1000-step reverse loop) is memory-op bound on TPU —
+each ``ResidualBottleneck`` materializes ~12 HBM-sized tensors (split, two
+depthwise convs, four BN affines, three pointwise convs, SiLUs, concat,
+channel shuffle), so a [16,256,96,64] unit costs ~12 round trips of ~50 MB.
+XLA cannot fuse across the layout ops. This kernel computes the WHOLE unit —
+  split → [dw3×3 → BN] ∥ [pw → dw3×3 → BN → pw] → SiLU → concat → shuffle
+— inside VMEM with one HBM read of the input tile and one write of the
+output tile.
+
+BatchNorm is folded into the neighbouring convolutions beforehand
+(:func:`fold_conv_bn`): at inference BN is the affine y = γ(x−μ)/√(σ²+ε)+β,
+so conv(+bias)+BN ≡ conv with scaled weights and shifted bias.
+
+Layout: NHWC (lanes = channels). The H axis is tiled; each grid step DMAs its
+tile plus a 1-row halo from the pre-padded input (overlapping windows cannot
+be expressed as BlockSpecs, hence the manual copy — pallas_guide "Async DMA").
+Depthwise 3×3 is 9 shifted multiply-accumulates on the VMEM-resident tile;
+pointwise convs are MXU matmuls over [tile·W, C] views.
+
+Matches ``models/unet_shuffle.py`` numerically (see tests/test_shuffle_pallas.py);
+used by :mod:`models.shuffle_infer` for the sampling path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# BN folding
+# ---------------------------------------------------------------------------
+
+def bn_affine(bn_params: Dict[str, Any], bn_stats: Dict[str, Any],
+              eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
+    """Inference BatchNorm as (scale, shift): y = x*scale + shift."""
+    scale = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    shift = bn_params["bias"] - bn_stats["mean"] * scale
+    return scale, shift
+
+
+def fold_conv_bn(kernel: jax.Array, bias: jax.Array, scale: jax.Array,
+                 shift: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Fold a following BN affine into conv weights: BN(conv(x)) ≡ conv'(x).
+
+    ``kernel`` [..., Cout] (HWIO, works for depthwise [3,3,1,C] too since the
+    trailing dim is the BN'd channel axis)."""
+    return kernel * scale, bias * scale + shift
+
+
+# ---------------------------------------------------------------------------
+# Fused ResidualBottleneck kernel
+# ---------------------------------------------------------------------------
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _dw9(tile, k, th, w):
+    """Depthwise 3×3 on a [th+2, w+2, C] VMEM tile → [th, w, C].
+
+    9 shifted multiply-accumulates; k is [3, 3, C]."""
+    acc = tile[0:th, 0:w, :] * k[0, 0]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 0 and dx == 0:
+                continue
+            acc = acc + tile[dy:dy + th, dx:dx + w, :] * k[dy, dx]
+    return acc
+
+
+def _bottleneck_kernel(core, top, bot, k1, b1, w1, c1, w2, c2, k2, b2, w3, c3,
+                       out_ref, *, th: int, w: int, wp: int,
+                       cin: int, cout: int, acc_dtype):
+    """One grid step: rows [j*th, j*th+th) of sample b, whole unit in VMEM.
+
+    The 1-row halos arrive as separate BlockSpec'd inputs (``top``/``bot``,
+    pre-gathered outside — overlapping halo windows can't be expressed as
+    BlockSpecs, and manual ANY-space DMA of unaligned slices doesn't lower)."""
+    j = pl.program_id(1)
+    ch = cin // 2
+    co2 = cout // 2
+
+    xtile = jnp.concatenate([top[0, 0], core[0, 0], bot[0, 0]], axis=0)  # [th+2, wp, C]
+    x1 = xtile[:, :, 0:ch]           # branch 1 (halo'd)
+    x2 = xtile[:, :, ch:cin]         # branch 2 (halo'd)
+
+    # branch1: dw3x3(+folded BN) → pw(+folded BN) → SiLU
+    t1 = _dw9(x1, k1[:], th, w) + b1[:]
+    t1 = jnp.dot(t1.reshape(th * w, ch), w1[:],
+                 preferred_element_type=acc_dtype)
+    t1 = _silu(t1 + c1[:])  # stays f32: mosaic only interleaves 32-bit minor dims
+
+    # branch2: pw+SiLU on the full halo'd tile (so the dw that follows has its
+    # halo), then dw3x3(+BN), then pw+SiLU
+    t2 = jnp.dot(x2.reshape((th + 2) * wp, ch), w2[:],
+                 preferred_element_type=acc_dtype)
+    t2 = _silu(t2 + c2[:]).astype(x2.dtype).reshape(th + 2, wp, ch)
+    # the reference zero-pads AFTER this pointwise conv, so at the image's
+    # outer 1-pixel ring the dw halo must be 0, not silu(pw(0)) = silu(c2);
+    # interior tile halos carry real neighbour rows and stay untouched
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    nj = pl.num_programs(1)
+    border = ((col == 0) | (col >= w + 1) |
+              ((row == 0) & (j == 0)) | ((row == th + 1) & (j == nj - 1)))
+    t2 = jnp.where(border, jnp.zeros_like(t2), t2)
+    t2 = _dw9(t2, k2[:], th, w) + b2[:]
+    t2 = jnp.dot(t2.reshape(th * w, ch), w3[:],
+                 preferred_element_type=acc_dtype)
+    t2 = _silu(t2 + c3[:])
+
+    # concat + channel_shuffle(groups=2) ≡ interleave the two branches.
+    # Mosaic supports neither 16-bit minor-dim insertion nor the
+    # (th,w,co2,2)→(th,w,cout) shape cast, so express the lane permutation as
+    # a matmul with a static 0/1 matrix — an MXU-native gather:
+    #   out[..., j] = concat[..., j//2 + (j%2)*co2]
+    cc = jnp.concatenate([t1, t2], axis=1)            # [th*w, cout]
+    src = jax.lax.broadcasted_iota(jnp.int32, (cout, cout), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (cout, cout), 1)
+    perm = (src == (dst // 2 + (dst % 2) * co2)).astype(cc.dtype)
+    out = jnp.dot(cc, perm, preferred_element_type=acc_dtype)
+    out_ref[0] = out.reshape(th, w, cout).astype(out_ref.dtype)
+
+
+def _pick_tile(h: int) -> int:
+    for th in (64, 32, 16, 8, 4, 2, 1):
+        if h % th == 0:
+            return th
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck(x: jax.Array, params: Dict[str, jax.Array],
+                     *, interpret: bool = False) -> jax.Array:
+    """Fused inference ResidualBottleneck.
+
+    x [B,H,W,Cin]; params (BN-folded, see :func:`fold_bottleneck_params`):
+      k1 [3,3,Ch]  b1 [Ch]   — branch1 depthwise (+BN)
+      w1 [Ch,Co2]  c1 [Co2]  — branch1 pointwise (+BN, SiLU after)
+      w2 [Ch,Ch]   c2 [Ch]   — branch2 pointwise 1
+      k2 [3,3,Ch]  b2 [Ch]   — branch2 depthwise (+BN)
+      w3 [Ch,Co2]  c3 [Co2]  — branch2 pointwise 2
+    Returns [B,H,W,Cout] with Cout = 2*Co2.
+    """
+    b, h, w, cin = x.shape
+    co2 = params["w1"].shape[-1]
+    cout = 2 * co2
+    th = _pick_tile(h)
+    nj = h // th
+    wp = -(-(w + 2) // 8) * 8  # keep the lane-packed W axis sublane-aligned
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    # halo rows per tile, gathered with strided slices: top_j = xp[:, j*th],
+    # bot_j = xp[:, j*th + th + 1]
+    top = xp[:, 0:nj * th:th].reshape(b, nj, 1, wp, cin)
+    bot = xp[:, th + 1::th][:, :nj].reshape(b, nj, 1, wp, cin)
+    core = xp[:, 1:h + 1].reshape(b, nj, th, wp, cin)
+    acc_dtype = jnp.float32
+    kern = functools.partial(_bottleneck_kernel, th=th, w=w, wp=wp, cin=cin,
+                             cout=cout, acc_dtype=acc_dtype)
+    grid = (b, nj)
+    # weights: replicate to every grid step (index_map → block 0)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    p = params
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, th, wp, cin), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, wp, cin), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, wp, cin), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(p["k1"].shape), wspec(p["b1"].shape),
+            wspec(p["w1"].shape), wspec(p["c1"].shape),
+            wspec(p["w2"].shape), wspec(p["c2"].shape),
+            wspec(p["k2"].shape), wspec(p["b2"].shape),
+            wspec(p["w3"].shape), wspec(p["c3"].shape),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, cout), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(core, top, bot, p["k1"], p["b1"], p["w1"], p["c1"], p["w2"], p["c2"],
+      p["k2"], p["b2"], p["w3"], p["c3"])
+
+
+# ---------------------------------------------------------------------------
+# Param folding from the flax ResidualBottleneck tree
+# ---------------------------------------------------------------------------
+
+def fold_bottleneck_params(unit_params: Dict[str, Any],
+                           unit_stats: Dict[str, Any],
+                           dtype=None) -> Dict[str, jax.Array]:
+    """Fold a models/unet_shuffle.ResidualBottleneck param+batch_stats subtree
+    into the fused kernel's argument set.
+
+    flax tree (momentum BNs use eps 1e-5, flax default — matching training):
+      b1_dw {kernel [3,3,1,Ch], bias}  b1_bn {scale,bias} + stats
+      b1_pw {conv{kernel [1,1,Ch,Co2],bias}, bn{...}}
+      b2_pw1 {conv,bn}  b2_dw  b2_bn  b2_pw2 {conv,bn}
+    """
+    def dw_fold(conv_name, bn_name):
+        k = unit_params[conv_name]["kernel"][:, :, 0, :]       # [3,3,Ch]
+        bias = unit_params[conv_name].get("bias", 0.0)
+        s, t = bn_affine(unit_params[bn_name], unit_stats[bn_name])
+        return k * s, bias * s + t
+
+    def pw_fold(name):
+        conv = unit_params[name]["conv"]
+        k = conv["kernel"][0, 0]                               # [Cin, Cout]
+        bias = conv.get("bias", 0.0)
+        s, t = bn_affine(unit_params[name]["bn"], unit_stats[name]["bn"])
+        return k * s, bias * s + t
+
+    k1, b1 = dw_fold("b1_dw", "b1_bn")
+    w1, c1 = pw_fold("b1_pw")
+    w2, c2 = pw_fold("b2_pw1")
+    k2, b2 = dw_fold("b2_dw", "b2_bn")
+    w3, c3 = pw_fold("b2_pw2")
+    two_d = lambda v: v.reshape(1, -1)  # TPU VMEM wants ≥2-D operands
+    out = dict(k1=k1, b1=two_d(b1), w1=w1, c1=two_d(c1), w2=w2, c2=two_d(c2),
+               k2=k2, b2=two_d(b2), w3=w3, c3=two_d(c3))
+    if dtype is not None:
+        out = {k: v.astype(dtype) for k, v in out.items()}
+    return out
+
+
+def reference_bottleneck(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """Plain-XLA executable spec of the fused kernel (used by tests and as a
+    CPU fallback): identical math, unfused."""
+    ch = x.shape[-1] // 2
+    x1, x2 = x[..., :ch], x[..., ch:]
+    xp1 = jnp.pad(x1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    t1 = sum(xp1[:, dy:dy + x.shape[1], dx:dx + x.shape[2], :] * p["k1"][dy, dx]
+             for dy in range(3) for dx in range(3)) + p["b1"]
+    t1 = _silu(jnp.einsum("bhwc,cd->bhwd", t1, p["w1"],
+                          preferred_element_type=jnp.float32)
+               + p["c1"]).astype(x.dtype)
+    t2 = _silu(jnp.einsum("bhwc,cd->bhwd", x2, p["w2"],
+                          preferred_element_type=jnp.float32)
+               + p["c2"]).astype(x.dtype)
+    tp2 = jnp.pad(t2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    t2 = sum(tp2[:, dy:dy + x.shape[1], dx:dx + x.shape[2], :] * p["k2"][dy, dx]
+             for dy in range(3) for dx in range(3)) + p["b2"]
+    t2 = _silu(jnp.einsum("bhwc,cd->bhwd", t2, p["w3"],
+                          preferred_element_type=jnp.float32)
+               + p["c3"]).astype(x.dtype)
+    return jnp.stack([t1, t2], axis=-1).reshape(
+        x.shape[0], x.shape[1], x.shape[2], -1)

@@ -213,10 +213,19 @@ class GaussianDiffusion3DWorker(BaseWorker):
 
         self._train_step = train_step
         no_clip = self.no_clip
+        fused = tr.get("fused_sampler", True)
 
         def sample(params, stats, rng, n):
-            model_fn, _ = bind(params, stats, False)
-            process.model_fn = model_fn
+            if fused:  # BN-folded shift-add inference fwd (2.1×, shuffle_infer)
+                from ..models.shuffle_infer import apply_folded, fold_unet
+                folded = fold_unet({"params": params, "batch_stats": stats},
+                                   dtype=unet.dtype)
+                process.model_fn = lambda x, c, t: apply_folded(
+                    folded, x, t, use_pallas=str(fused) == "pallas",
+                    dtype=unet.dtype).astype(x.dtype)
+            else:
+                model_fn, _ = bind(params, stats, False)
+                process.model_fn = model_fn
             # reference sampling(): the _reverse_diffusion(_with_clip) DDPM loop
             return process.ddpm_sample(rng, n, False, not no_clip)
 
