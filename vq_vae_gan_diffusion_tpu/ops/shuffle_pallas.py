@@ -119,17 +119,12 @@ def _bottleneck_kernel(core, top, bot, k1, b1, w1, c1, w2, c2, k2, b2, w3, c3,
                  preferred_element_type=acc_dtype)
     t2 = _silu(t2 + c3[:])
 
-    # concat + channel_shuffle(groups=2) ≡ interleave the two branches.
-    # Mosaic supports neither 16-bit minor-dim insertion nor the
-    # (th,w,co2,2)→(th,w,cout) shape cast, so express the lane permutation as
-    # a matmul with a static 0/1 matrix — an MXU-native gather:
-    #   out[..., j] = concat[..., j//2 + (j%2)*co2]
+    # emit the branches in CONCAT order; the channel_shuffle interleave is a
+    # lane permutation mosaic handles poorly (no 16-bit minor-dim insertion,
+    # no (th,w,co2,2)→(th,w,cout) shape cast), so the caller applies it in XLA
+    # where it fuses into the next op's prologue
     cc = jnp.concatenate([t1, t2], axis=1)            # [th*w, cout]
-    src = jax.lax.broadcasted_iota(jnp.int32, (cout, cout), 0)
-    dst = jax.lax.broadcasted_iota(jnp.int32, (cout, cout), 1)
-    perm = (src == (dst // 2 + (dst % 2) * co2)).astype(cc.dtype)
-    out = jnp.dot(cc, perm, preferred_element_type=acc_dtype)
-    out_ref[0] = out.reshape(th, w, cout).astype(out_ref.dtype)
+    out_ref[0] = cc.reshape(th, w, cout).astype(out_ref.dtype)
 
 
 def _pick_tile(h: int) -> int:
@@ -172,7 +167,7 @@ def fused_bottleneck(x: jax.Array, params: Dict[str, jax.Array],
     wspec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     p = params
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         grid=grid,
@@ -194,6 +189,9 @@ def fused_bottleneck(x: jax.Array, params: Dict[str, jax.Array],
         interpret=interpret,
     )(core, top, bot, p["k1"], p["b1"], p["w1"], p["c1"], p["w2"], p["c2"],
       p["k2"], p["b2"], p["w3"], p["c3"])
+    # channel_shuffle(groups=2) on the kernel's concat-order output (see
+    # kernel comment: interleave is done here in XLA, not in mosaic)
+    return out.reshape(b, h, w, 2, co2).swapaxes(-1, -2).reshape(b, h, w, cout)
 
 
 # ---------------------------------------------------------------------------

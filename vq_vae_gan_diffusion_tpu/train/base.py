@@ -23,6 +23,17 @@ from ..utils import (MetricWriter, adaptive_save_step, restore_checkpoint,
                      save_checkpoint, to_uint8)
 
 
+def maybe_accumulate(opt, trainer_cfg):
+    """Wrap an optax optimizer in MultiSteps when the family's trainer config
+    sets ``gradient_accumulate_every`` > 1. The reference only wired this into
+    the gaussian-2d worker (gaussianDiffusion2DWorker.py:60,202); here it is a
+    uniform knob for every family."""
+    import optax
+
+    ga = int(trainer_cfg.get("gradient_accumulate_every", 1) or 1)
+    return optax.MultiSteps(opt, every_k_schedule=ga) if ga > 1 else opt
+
+
 class BaseWorker:
     model_name: str = "base"
 

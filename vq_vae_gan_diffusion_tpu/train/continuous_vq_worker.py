@@ -21,7 +21,7 @@ from flax import struct
 from ..config import Config
 from ..models.continuous_vq import C_VQDiffusion, V_VQDiffusion
 from ..utils import ema_update, make_grid, save_image
-from .base import BaseWorker
+from .base import BaseWorker, maybe_accumulate
 
 
 class ContinuousVQState(struct.PyTreeNode):
@@ -42,8 +42,9 @@ class ContinuousVQDiffusionWorker(BaseWorker):
         self.composite = cls(config, dtype=dtype)
         tr = config.trainer.get(self.model_name, config.trainer.get("vqdiffusion"))
         lr = float(tr.get("learning_rate", 1e-4))
-        self.opt = optax.adam(lr, b1=float(tr.get("beta1", 0.9)),
-                              b2=float(tr.get("beta2", 0.99)))
+        self.opt = maybe_accumulate(
+            optax.adam(lr, b1=float(tr.get("beta1", 0.9)),
+                       b2=float(tr.get("beta2", 0.99))), tr)
         composite, opt = self.composite, self.opt
 
         @jax.jit

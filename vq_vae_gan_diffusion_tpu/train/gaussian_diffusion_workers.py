@@ -32,7 +32,7 @@ from ..diffusion.gaussian3d import GaussianDiffusion3D
 from ..models.unet1d import Unet1D
 from ..models.unet_shuffle import ShuffleUNet
 from ..utils import ema_update, make_grid, save_image
-from .base import BaseWorker
+from .base import BaseWorker, maybe_accumulate
 
 
 class DiffusionState(struct.PyTreeNode):
@@ -69,8 +69,10 @@ class GaussianDiffusion2DWorker(BaseWorker):
             betas = (0.9, 0.99)
         base_opt = optax.adam(lr, b1=float(betas[0]), b2=float(betas[1]))
         opt = optax.chain(optax.clip_by_global_norm(1.0), base_opt)
-        if gradient_accumulate_every > 1:
+        if gradient_accumulate_every > 1:  # ctor arg (reference signature)
             opt = optax.MultiSteps(opt, gradient_accumulate_every)
+        else:                              # uniform trainer-config knob
+            opt = maybe_accumulate(opt, tr)
         self.opt = opt
 
         unet, process = self.unet, self.process
@@ -163,7 +165,7 @@ class GaussianDiffusion3DWorker(BaseWorker):
         num_epochs = int(config.trainer.num_epochs)
         total_steps = max(num_epochs * num_iters_per_epoch, 10)
         schedule = optax.cosine_onecycle_schedule(total_steps, lr, 0.25, 25.0, 1e4)
-        self.opt = optax.adamw(schedule, weight_decay=0.01)
+        self.opt = maybe_accumulate(optax.adamw(schedule, weight_decay=0.01), tr)
         self.model_ema_steps = int(tr.get("model_ema_steps", 10))
         base_decay = float(tr.get("model_ema_decay", 0.995))
         batch_size = resolve_batch_size(config)

@@ -22,7 +22,7 @@ from flax import struct
 from ..config import Config
 from ..models import VAE
 from ..utils import make_grid, save_gif, save_image
-from .base import BaseWorker
+from .base import BaseWorker, maybe_accumulate
 
 
 class VAEState(struct.PyTreeNode):
@@ -45,7 +45,7 @@ class VAEWorker(BaseWorker):
         b2 = float(tr.get("beta2", 0.9))
         self.kld_weight = float(tr.get("kld_weight", 0.1))
         self.rec_loss_factor = float(tr.get("rec_loss_factor", 1.0))
-        self.opt = optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
+        self.opt = maybe_accumulate(optax.adam(lr, b1=b1, b2=b2, eps=1e-8), tr)
 
         model, opt, kldw, recf = self.model, self.opt, self.kld_weight, self.rec_loss_factor
 

@@ -26,7 +26,7 @@ from ..config import Config
 from ..diffusion.discrete import LtState
 from ..models.vq_diffusion_composite import VQDiffusionComposite
 from ..utils import ema_update, make_grid, save_image
-from .base import BaseWorker
+from .base import BaseWorker, maybe_accumulate
 
 
 class VQDiffusionState(struct.PyTreeNode):
@@ -62,7 +62,8 @@ class VQDiffusionWorker(BaseWorker):
         schedule = optax.cosine_onecycle_schedule(
             transition_steps=total_steps, peak_value=lr, pct_start=0.25,
             div_factor=25.0, final_div_factor=1e4)
-        self.opt = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=0.01)
+        self.opt = maybe_accumulate(
+            optax.adamw(schedule, b1=b1, b2=b2, weight_decay=0.01), tr)
 
         composite, opt, ema_steps, ema_decay = (self.composite, self.opt,
                                                 self.model_ema_steps, self.ema_decay)

@@ -23,7 +23,7 @@ from flax import struct
 from ..config import Config
 from ..models.vq_transformer import VQTransformer
 from ..utils import make_grid, save_image
-from .base import BaseWorker
+from .base import BaseWorker, maybe_accumulate
 
 
 class TransformerState(struct.PyTreeNode):
@@ -55,14 +55,9 @@ class VQTransformerWorker(BaseWorker):
         tr = config.trainer[key]
         lr = float(tr.learning_rate)
         b1, b2 = float(tr.get("beta1", 0.9)), float(tr.get("beta2", 0.95))
-        self.opt = optax.adamw(lr, b1=b1, b2=b2, weight_decay=0.01,
-                               mask=mingpt_decay_mask)
-        # generic gradient accumulation (the reference only wired
-        # gradient_accumulate_every into the gaussian-2d worker; here it is a
-        # trainer knob for every family)
-        ga = int(tr.get("gradient_accumulate_every", 1) or 1)
-        if ga > 1:
-            self.opt = optax.MultiSteps(self.opt, every_k_schedule=ga)
+        self.opt = maybe_accumulate(
+            optax.adamw(lr, b1=b1, b2=b2, weight_decay=0.01,
+                        mask=mingpt_decay_mask), tr)
         self.param_sharding_mode = str(
             tr.get("param_sharding", config.trainer.get("param_sharding",
                                                         "replicated")))

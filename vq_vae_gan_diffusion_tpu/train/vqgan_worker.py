@@ -46,7 +46,7 @@ from ..config import Config
 from ..models import VQVAE, Discriminator, adopt_weight
 from ..models.lpips import LPIPS, load_lpips_params
 from ..utils import make_grid, save_gif, save_image
-from .base import BaseWorker
+from .base import BaseWorker, maybe_accumulate
 
 
 class VQGANState(struct.PyTreeNode):
@@ -228,8 +228,8 @@ class VQGANVQVAEWorker(BaseWorker):
         tr = config.trainer.vqvae
         lr = float(tr.learning_rate)
         b1, b2 = float(tr.beta1), float(tr.beta2)
-        self.opt_g = optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
-        self.opt_d = optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
+        self.opt_g = maybe_accumulate(optax.adam(lr, b1=b1, b2=b2, eps=1e-8), tr)
+        self.opt_d = maybe_accumulate(optax.adam(lr, b1=b1, b2=b2, eps=1e-8), tr)
         dcfg = config.trainer.descriminator
         self.use_hand_mask = (bool(config.dataset.get("get_hand_mask", False))
                               and self.dataset_name == "InterHand26M")
