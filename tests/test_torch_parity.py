@@ -228,3 +228,189 @@ def test_cosine_schedule_parity():
     ref = cosine_beta_schedule(1000).numpy()
     ours = cosine_betas(1000)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+
+# --- ShuffleNet U-Net ("Unet3D") parity --------------------------------------
+
+def _bn_w(tbn):
+    return ({"scale": t2j(tbn.weight), "bias": t2j(tbn.bias)},
+            {"mean": t2j(tbn.running_mean), "var": t2j(tbn.running_var)})
+
+
+def _convbnsilu_w(tmod):
+    """reference ConvBnSiLu.module = [Conv2d, BatchNorm2d, SiLU]."""
+    bn_p, bn_s = _bn_w(tmod.module[1])
+    return ({"conv": conv_w(tmod.module[0]), "bn": bn_p}, {"bn": bn_s})
+
+
+def _bottleneck_w(tmod):
+    """reference ResidualBottleneck → our param/stat subtrees."""
+    p, s = {}, {}
+    p["b1_dw"] = conv_w(tmod.branch1[0])
+    p["b1_bn"], s["b1_bn"] = _bn_w(tmod.branch1[1])
+    p["b1_pw"], s["b1_pw"] = _convbnsilu_w(tmod.branch1[2])
+    p["b2_pw1"], s["b2_pw1"] = _convbnsilu_w(tmod.branch2[0])
+    p["b2_dw"] = conv_w(tmod.branch2[1])
+    p["b2_bn"], s["b2_bn"] = _bn_w(tmod.branch2[2])
+    p["b2_pw2"], s["b2_pw2"] = _convbnsilu_w(tmod.branch2[3])
+    return p, s
+
+
+def _downsample_w(tmod):
+    return _bottleneck_w(tmod)  # same five-submodule layout
+
+
+def _lin_w(lin):
+    return {"kernel": t2j(lin.weight).T, "bias": t2j(lin.bias)}
+
+
+def _time_mlp_w(tmod):
+    return {"fc1": _lin_w(tmod.mlp[0]), "fc2": _lin_w(tmod.mlp[2])}
+
+
+def test_shuffle_unet3d_parity():
+    """Full reference Unet3D vs our ShuffleUNet, weights transplanted,
+    non-trivial BN running stats (unet3d.py:127-163)."""
+    from network.vqDiffusion.submodule.unet3d import Unet3D as RefUnet3D
+
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    tm = RefUnet3D(timesteps=10, time_embedding_dim=32, in_channels=1,
+                   out_channels=1, base_dim=16, dim_mults=[1, 2])
+    # accumulate non-trivial BN running stats, then freeze
+    tm.train()
+    with torch.no_grad():
+        for i in range(3):
+            tm(torch.randn(2, 1, 32, 16), None, torch.randint(0, 10, (2,)))
+    tm.eval()
+
+    x = torch.randn(2, 1, 32, 16)
+    t = torch.tensor([3, 7])
+    with torch.no_grad():
+        ref = tm(x, None, t).numpy()
+
+    params, stats = {}, {}
+    ip, is_ = _convbnsilu_w(tm.init_conv)
+    params["init_conv"], stats["init_conv"] = ip, is_
+    params["time_embedding"] = {"embedding": t2j(tm.time_embedding.weight)}
+    for i, eb in enumerate(tm.encoder_blocks):
+        ep, es = {}, {}
+        for k in range(4):
+            ep[f"bn{k}"], es[f"bn{k}"] = _bottleneck_w(eb.conv0[k])
+        ep["time_mlp"] = _time_mlp_w(eb.time_mlp)
+        ep["down"], es["down"] = _downsample_w(eb.conv1)
+        params[f"enc{i}"], stats[f"enc{i}"] = ep, es
+    for i in range(3):
+        params[f"mid{i}"], stats[f"mid{i}"] = _bottleneck_w(tm.mid_block[i])
+    for i, db in enumerate(tm.decoder_blocks):
+        dp, ds = {}, {}
+        for k in range(4):
+            dp[f"bn{k}"], ds[f"bn{k}"] = _bottleneck_w(db.conv0[k])
+        dp["time_mlp"] = _time_mlp_w(db.time_mlp)
+        dp["bn4"], ds["bn4"] = _bottleneck_w(db.conv1)
+        params[f"dec{i}"], stats[f"dec{i}"] = dp, ds
+    params["final_conv"] = conv_w(tm.final_conv)
+
+    ju = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                     out_channels=1, base_dim=16, dim_mults=(1, 2))
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    out = ju.apply({"params": params, "batch_stats": stats}, xj, None,
+                   jnp.asarray(t.numpy()), train=False)
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+    # and the BN-folded fused-inference path used by the sampling chain
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    folded = fold_unet({"params": params, "batch_stats": stats},
+                       dtype=jnp.float32)
+    out2 = apply_folded(folded, xj, jnp.asarray(t.numpy()), use_pallas=False,
+                        dtype=jnp.float32)
+    out2 = np.transpose(np.asarray(out2), (0, 3, 1, 2))
+    np.testing.assert_allclose(out2, ref, rtol=1e-3, atol=1e-4)
+
+
+# --- Conv1d U-Net ("Unet2D") parity ------------------------------------------
+
+def _c1d_w(tconv):
+    """torch Conv1d [O, I, K] → flax [K, I, O]."""
+    out = {"kernel": jnp.asarray(np.transpose(tconv.weight.detach().numpy(),
+                                              (2, 1, 0)))}
+    if tconv.bias is not None:
+        out["bias"] = t2j(tconv.bias)
+    return out
+
+
+def _rms_w(tnorm):
+    return {"g": t2j(tnorm.g).reshape(-1)}
+
+
+def _resnet1d_w(tb):
+    p = {
+        "time_proj": _lin_w(tb.mlp[1]),
+        "block1": {"proj": _c1d_w(tb.block1.proj),
+                   "RMSNorm_0": _rms_w(tb.block1.norm)},
+        "block2": {"proj": _c1d_w(tb.block2.proj),
+                   "RMSNorm_0": _rms_w(tb.block2.norm)},
+    }
+    if not isinstance(tb.res_conv, torch.nn.Identity):
+        p["res_conv"] = _c1d_w(tb.res_conv)
+    return p
+
+
+def _attn1d_w(tattn):
+    """reference LinearAttention/Attention (to_qkv + to_out[+norm])."""
+    if isinstance(tattn.to_out, torch.nn.Sequential):
+        return {"to_qkv": _c1d_w(tattn.to_qkv),
+                "to_out": _c1d_w(tattn.to_out[0]),
+                "out_norm": _rms_w(tattn.to_out[1])}
+    return {"to_qkv": _c1d_w(tattn.to_qkv), "to_out": _c1d_w(tattn.to_out)}
+
+
+def test_unet1d_parity():
+    """Reference Conv1d U-Net (unet2d.py:215-357) vs our Unet1D with
+    transplanted weights: RMSNorm, FiLM scale-shift ResnetBlocks, linear+full
+    attention, down/upsample convs, sinusoidal time embedding."""
+    from network.vqDiffusion.submodule.unet2d import Unet2D as RefUnet2D
+
+    from vq_vae_gan_diffusion_tpu.models.unet1d import Unet1D
+
+    tm = RefUnet2D(dim=16, dim_mults=(1, 2), channels=8, out_dim=8).eval()
+    x = torch.randn(2, 8, 32)      # [B, C, N]
+    tt = torch.tensor([3, 7])
+    with torch.no_grad():
+        ref = tm(x, None, tt).numpy()
+
+    params = {
+        "init_conv": _c1d_w(tm.init_conv),
+        "time_fc1": _lin_w(tm.time_mlp[1]),
+        "time_fc2": _lin_w(tm.time_mlp[3]),
+        "final_res": _resnet1d_w(tm.final_res_block),
+        "final_conv": _c1d_w(tm.final_conv),
+    }
+    n_lin = 0
+    for i, (r1, r2, attn, down) in enumerate(tm.downs):
+        params[f"down{i}_res1"] = _resnet1d_w(r1)
+        params[f"down{i}_res2"] = _resnet1d_w(r2)
+        params[f"down{i}_attn"] = {"RMSNorm_0": _rms_w(attn.fn.norm)}
+        params[f"LinearAttention1D_{n_lin}"] = _attn1d_w(attn.fn.fn)
+        n_lin += 1
+        params[f"down{i}_down"] = _c1d_w(
+            down if isinstance(down, torch.nn.Conv1d) else down)
+    params["mid_res1"] = _resnet1d_w(tm.mid_block1)
+    params["mid_attn"] = {"RMSNorm_0": _rms_w(tm.mid_attn.fn.norm)}
+    params["Attention1D_0"] = _attn1d_w(tm.mid_attn.fn.fn)
+    params["mid_res2"] = _resnet1d_w(tm.mid_block2)
+    for i, (r1, r2, attn, up) in enumerate(tm.ups):
+        params[f"up{i}_res1"] = _resnet1d_w(r1)
+        params[f"up{i}_res2"] = _resnet1d_w(r2)
+        params[f"up{i}_attn"] = {"RMSNorm_0": _rms_w(attn.fn.norm)}
+        params[f"LinearAttention1D_{n_lin}"] = _attn1d_w(attn.fn.fn)
+        n_lin += 1
+        params[f"up{i}_up"] = _c1d_w(
+            up if isinstance(up, torch.nn.Conv1d) else up[1])
+    ju = Unet1D(dim=16, dim_mults=(1, 2), channels=8, out_dim=8)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 1)))  # [B, N, C]
+    out = ju.apply({"params": params}, xj, None, jnp.asarray(tt.numpy()))
+    out = np.transpose(np.asarray(out), (0, 2, 1))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
