@@ -172,3 +172,41 @@ def test_gpt_tensor_parallel_sharding(mesh, rng):
     sharded = apply_param_sharding(params, mesh2)
     out = jax.jit(lambda p, i: gpt.apply({"params": p}, i))(sharded, idx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sigterm_checkpoint(tiny_config, tmp_path):
+    """SIGTERM during training writes a checkpoint before exiting; a handler
+    hit while a save is in flight defers to the next step boundary
+    (ADVICE r1: no re-entrant orbax writes from signal context)."""
+    import os
+    import signal
+
+    from vq_vae_gan_diffusion_tpu.data import (DataLoader, Preprocessor,
+                                               SyntheticDataset)
+    from vq_vae_gan_diffusion_tpu.train.vae_worker import VAEWorker
+
+    cfg = tiny_config.replace_path("architecture.model_name", "vae")
+    w = VAEWorker(cfg, str(tmp_path), debug=False)
+    ds = SyntheticDataset(32, 32, 3)
+    loader = DataLoader(ds, 8, Preprocessor(32, (0.5,) * 3, (0.5,) * 3),
+                        shuffle=False, drop_last=True, seed=0)
+
+    calls = {"n": 0}
+    orig_save = w.save
+
+    def save_and_kill(epoch=0):
+        orig_save(epoch)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            os.kill(os.getpid(), signal.SIGTERM)  # lands after this save
+
+    w.save = save_and_kill
+    with __import__("pytest").raises(SystemExit) as ei:
+        w.train(loader, epochs=3)
+    assert ei.value.code == 143
+    # a checkpoint exists and is restorable
+    w2 = VAEWorker(cfg, str(tmp_path), debug=False,
+                   save_ckpt_dir=w.save_ckpt_dir)
+    w2.state = w2.init_state()
+    w2.load()
+    assert w2.global_step >= 1
