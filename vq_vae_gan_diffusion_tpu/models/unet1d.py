@@ -214,7 +214,7 @@ class Unet1D(nn.Module):
         t = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="time_fc1")(emb.astype(self.dtype))
         t = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="time_fc2")(nn.gelu(t))
+                     name="time_fc2")(nn.gelu(t, approximate=False))
 
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
