@@ -14,11 +14,16 @@ BatchNorm is folded into the neighbouring convolutions beforehand
 (:func:`fold_conv_bn`): at inference BN is the affine y = γ(x−μ)/√(σ²+ε)+β,
 so conv(+bias)+BN ≡ conv with scaled weights and shifted bias.
 
-Layout: NHWC (lanes = channels). The H axis is tiled; each grid step DMAs its
-tile plus a 1-row halo from the pre-padded input (overlapping windows cannot
-be expressed as BlockSpecs, hence the manual copy — pallas_guide "Async DMA").
-Depthwise 3×3 is 9 shifted multiply-accumulates on the VMEM-resident tile;
-pointwise convs are MXU matmuls over [tile·W, C] views.
+Layout: NHWC (lanes = channels). The H axis is tiled; each grid step receives
+its tile core plus 1-row halos as three separately BlockSpec'd inputs (the
+halos pre-gathered with strided slices — overlapping windows cannot be
+expressed as BlockSpecs, and manual ANY-space DMA of unaligned slices does not
+lower). Depthwise 3×3 is 9 shifted multiply-accumulates on the VMEM-resident
+tile; pointwise convs are MXU matmuls over [tile·W, C] views.
+
+Status (BENCHMARKS.md): numerically exact, but at 3.8 ms/unit it trails its
+own XLA shift-add spec (2.2 ms) on [16,256,96,64] — the production
+``fused_sampler`` default is therefore the spec path; this kernel is opt-in.
 
 Matches ``models/unet_shuffle.py`` numerically (see tests/test_shuffle_pallas.py);
 used by :mod:`models.shuffle_infer` for the sampling path.
