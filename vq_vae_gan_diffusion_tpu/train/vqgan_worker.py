@@ -287,8 +287,12 @@ class VQGANVQVAEWorker(BaseWorker):
 
     # -- artifacts -----------------------------------------------------------
     def reconstruct(self, imgs: jax.Array) -> jax.Array:
-        decoded, _, _ = self.model.apply({"params": self.state.vqvae_params}, imgs)
-        return decoded
+        # jitted: an un-jitted apply dispatches every op separately, which on
+        # tunneled backends costs more than the whole train dispatch
+        if not hasattr(self, "_reconstruct_jit"):
+            self._reconstruct_jit = jax.jit(
+                lambda p, x: self.model.apply({"params": p}, x)[0])
+        return self._reconstruct_jit(self.state.vqvae_params, jnp.asarray(imgs))
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:
         imgs = batch[:8]
