@@ -156,7 +156,7 @@ def fused_bottleneck(x: jax.Array, params: Dict[str, jax.Array],
     cout = 2 * co2
     th = _pick_tile(h)
     nj = h // th
-    wp = -(-(w + 2) // 8) * 8  # keep the lane-packed W axis sublane-aligned
+    wp = -(-(w + 2) // 16) * 16  # sublane-align W for bf16 tiles (16, 128)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     # halo rows per tile, gathered with strided slices: top_j = xp[:, j*th],
     # bot_j = xp[:, j*th + th + 1]

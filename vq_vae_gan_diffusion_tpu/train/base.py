@@ -269,3 +269,13 @@ class BaseWorker:
 
     def to_uint8(self, img) -> np.ndarray:
         return to_uint8(np.asarray(img), self.mean, self.std)
+
+    def jit_cached(self, key: str, fn):
+        """Jit-and-memoize an artifact-path function. Un-jitted flax applies
+        dispatch every op separately — on tunneled backends a single decode
+        costs more host time than a whole K-step train dispatch."""
+        if not hasattr(self, "_jits"):
+            self._jits = {}
+        if key not in self._jits:
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]

@@ -101,6 +101,7 @@ class ContinuousVQDiffusionWorker(BaseWorker):
     def generate_images(self, val_loader=None, n_samples: int = 16, epoch: int = 0):
         indices = self._sample(self.state.ema_params, self.state.vq_params,
                                self.next_rng(), n_samples)
-        imgs = self.composite.z_to_image(self.state.vq_params, indices)
+        z2i = self.jit_cached("z2i", self.composite.z_to_image)
+        imgs = z2i(self.state.vq_params, indices)
         save_image(make_grid(self.to_uint8(np.asarray(imgs)), nrow=4),
                    os.path.join(self.run_dir, f"samples_epoch{epoch}.jpg"))

@@ -85,8 +85,9 @@ class VAEWorker(BaseWorker):
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:
         imgs = batch[:8]
-        decoded, _, _ = self.model.apply({"params": self.state.params}, imgs,
-                                         jax.random.PRNGKey(0))
+        recon = self.jit_cached("recon", lambda p, x: self.model.apply(
+            {"params": p}, x, jax.random.PRNGKey(0))[0])
+        decoded = recon(self.state.params, jnp.asarray(imgs))
         both = np.concatenate([self.to_uint8(np.asarray(imgs)),
                                self.to_uint8(np.asarray(decoded))], axis=0)
         grid = make_grid(both, nrow=8)
@@ -98,8 +99,9 @@ class VAEWorker(BaseWorker):
         rng = rng if rng is not None else self.next_rng()
         g = self.model.latent_size
         z = jax.random.normal(rng, (n_samples, g, g, self.model.latent_channels))
-        imgs = self.model.apply({"params": self.state.params}, z, method=VAE.decode)
-        return np.asarray(imgs)
+        decode = self.jit_cached("decode", lambda p, z: self.model.apply(
+            {"params": p}, z, method=VAE.decode))
+        return np.asarray(decode(self.state.params, z))
 
     def generate_images(self, val_loader=None, n_samples: int = 16, epoch: int = 0):
         samples = self.sample(n_samples)
@@ -108,8 +110,9 @@ class VAEWorker(BaseWorker):
         if val_loader is not None:
             for batch in val_loader:
                 imgs = jnp.asarray(batch[:n_samples])
-                decoded, _, _ = self.model.apply({"params": self.state.params},
-                                                 imgs, jax.random.PRNGKey(0))
+                recon = self.jit_cached("recon", lambda p, x: self.model.apply(
+                    {"params": p}, x, jax.random.PRNGKey(0))[0])
+                decoded = recon(self.state.params, imgs)
                 both = np.concatenate([self.to_uint8(np.asarray(imgs)),
                                        self.to_uint8(np.asarray(decoded))], axis=0)
                 save_image(make_grid(both, nrow=n_samples),

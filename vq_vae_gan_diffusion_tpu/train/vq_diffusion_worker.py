@@ -170,12 +170,13 @@ class VQDiffusionWorker(BaseWorker):
             b, f, n = indices.shape
             frames = []
             for i in range(f):
-                imgs = self.composite.z_to_image(self.state.vq_params,
-                                                 indices[:, i])
+                z2i = self.jit_cached("z2i", self.composite.z_to_image)
+                imgs = z2i(self.state.vq_params, indices[:, i])
                 frames.append(self.to_uint8(np.asarray(imgs[0])))
             save_image(make_grid(np.stack(frames), nrow=8),
                        os.path.join(self.run_dir, f"filmstrip_epoch{epoch}.jpg"))
             indices = indices[:, -1]
-        imgs = self.composite.z_to_image(self.state.vq_params, indices)
+        imgs = self.jit_cached("z2i", self.composite.z_to_image)(
+            self.state.vq_params, indices)
         save_image(make_grid(self.to_uint8(np.asarray(imgs)), nrow=4),
                    os.path.join(self.run_dir, f"samples_epoch{epoch}.jpg"))
