@@ -94,6 +94,30 @@ def test_fsdp_training_step(big_gpt_config):
                                rtol=2e-4)
 
 
+def test_fsdp_full_training_loop(big_gpt_config):
+    """BaseWorker.train() end-to-end with fsdp param sharding: place_on_mesh
+    runs inside the loop, batches are data-sharded, loss finite."""
+    import tempfile
+
+    from vq_vae_gan_diffusion_tpu.data import (DataLoader, Preprocessor,
+                                               SyntheticDataset)
+    from vq_vae_gan_diffusion_tpu.train.vq_transformer_worker import (
+        VQTransformerWorker)
+
+    mesh = create_mesh()
+    cfg = big_gpt_config.replace_path(
+        "trainer.vqvae_transformer.param_sharding", "fsdp")
+    w = VQTransformerWorker(cfg, tempfile.mkdtemp(), mesh=mesh, debug=True)
+    ds = SyntheticDataset(16, 32, 3)
+    loader = DataLoader(ds, 8, Preprocessor(32, (0.5,) * 3, (0.5,) * 3),
+                        shuffle=False, drop_last=True, seed=0)
+    metrics = w.train(loader, epochs=1)
+    assert np.isfinite(metrics["ce_loss"])
+    sharded = [l for l in jax.tree_util.tree_leaves(w.state.gpt_params)
+               if any(s is not None for s in getattr(l.sharding, "spec", ()))]
+    assert sharded, "loop dropped the fsdp sharding"
+
+
 def test_remat_same_numerics(big_gpt_config, rng):
     """remat=True recomputes activations in backward: same loss and grads."""
     from vq_vae_gan_diffusion_tpu.models.mingpt import GPT
