@@ -1,0 +1,281 @@
+"""Fused Pallas TPU kernel for the GPT autoregressive decode step.
+
+Why: decoding one token through the minGPT prior (reference
+vqTransformer.py:173-216, rebuilt as a KV-cached ``lax.scan`` in
+``models/mingpt.py``) issues ~10 small XLA ops per layer (LN, 3 GEMMs, cache
+update, 2 attention einsums, softmax, proj, MLP). Measured on a v5e, each op
+carries ~3 µs of fixed sequencing overhead, so a 12-layer step costs
+~470 µs/token while its HBM traffic (weights ~19 MB + KV cache ~12 MB) only
+justifies ~40 µs. XLA-level fusion (joint QKV GEMM, merged KV buffer) does not
+recover this — the op count barely drops. This kernel runs the ENTIRE
+12-layer stack in ONE kernel launch:
+
+- grid = (n_layer,); per-layer weights are stacked [L, ...] and BlockSpec'd
+  per grid step, so Mosaic double-buffers the weight DMA behind compute;
+- the residual-stream activation x [B, C] lives in the output VMEM block
+  (constant index map) and carries across grid steps;
+- the KV cache [L, B, N, 2C] is a READ-ONLY blocked input. The current
+  token's k/v contribution enters the softmax analytically (lazy-append:
+  separate max/exp/denominator terms), and the kernel *returns* the new
+  per-layer k/v rows [L, B, 2C]; the caller commits them with a single
+  ``dynamic_update_slice`` — one XLA op per token for all layers, and no
+  48 MB/token cache write-back through the kernel;
+- attention never materializes a [B, N, H, D] relayout: with heads laid out
+  as contiguous 32-lane groups of the C axis, the within-head reduction
+  Σ_d q·k is an MXU matmul against a constant 0/1 segment matrix S [C, H],
+  and the head→lane expansion of the softmax weights is S^T.
+
+Numerics: LayerNorm, softmax statistics and the residual stream are f32;
+GEMMs take the cache/param compute dtype (bf16 in production) with f32
+accumulation; GELU is exact-erf to match torch nn.GELU (mingpt.py:100).
+
+``reference_decode_stack`` is the plain-XLA executable spec (tests + CPU
+fallback); ``tests/test_gpt_decode_pallas.py`` checks parity in interpret
+mode against both the spec and ``GPT.decode_step``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Param packing: flax GPT tree -> stacked [L, ...] arrays
+# ---------------------------------------------------------------------------
+
+def pack_decode_params(params: Dict[str, Any], n_layer: int,
+                       dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Stack per-block weights into [L, ...] arrays for the fused kernel.
+
+    Query/key/value kernels are concatenated into one [C, 3C] GEMM. LayerNorm
+    affines stay f32 (the kernel normalizes in f32); GEMM weights are cast to
+    the compute ``dtype``.
+    """
+    def stack(path, cast):
+        return jnp.stack([functools.reduce(lambda d, k: d[k],
+                                           [f"block{i}"] + path, params)
+                          for i in range(n_layer)]).astype(cast)
+
+    wq = stack(["attn", "query", "kernel"], dtype)
+    wk = stack(["attn", "key", "kernel"], dtype)
+    wv = stack(["attn", "value", "kernel"], dtype)
+    bq = stack(["attn", "query", "bias"], jnp.float32)
+    bk = stack(["attn", "key", "bias"], jnp.float32)
+    bv = stack(["attn", "value", "bias"], jnp.float32)
+    l_ = n_layer
+    c = wq.shape[1]
+    return {
+        "ln1_s": stack(["ln1", "scale"], jnp.float32).reshape(l_, 1, c),
+        "ln1_b": stack(["ln1", "bias"], jnp.float32).reshape(l_, 1, c),
+        "wqkv": jnp.concatenate([wq, wk, wv], axis=-1),            # [L, C, 3C]
+        "bqkv": jnp.concatenate([bq, bk, bv], axis=-1).reshape(l_, 1, 3 * c),
+        "wproj": stack(["attn", "proj", "kernel"], dtype),          # [L, C, C]
+        "bproj": stack(["attn", "proj", "bias"], jnp.float32).reshape(l_, 1, c),
+        "ln2_s": stack(["ln2", "scale"], jnp.float32).reshape(l_, 1, c),
+        "ln2_b": stack(["ln2", "bias"], jnp.float32).reshape(l_, 1, c),
+        "wfc1": stack(["fc1", "kernel"], dtype),                    # [L, C, 4C]
+        "bfc1": stack(["fc1", "bias"], jnp.float32).reshape(l_, 1, 4 * c),
+        "wfc2": stack(["fc2", "kernel"], dtype),                    # [L, 4C, C]
+        "bfc2": stack(["fc2", "bias"], jnp.float32).reshape(l_, 1, c),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _erf(x: jax.Array) -> jax.Array:
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic has
+    no erf/erfc lowering, and exp it does have."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ln(x32: jax.Array, scale, bias, eps: float = 1e-5) -> jax.Array:
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _decode_stack_kernel(t_ref, x_in, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                         ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, kv,
+                         x_out, kv_new, *, n_head: int, dtype):
+    """One grid step = one transformer block applied to x (carried in x_out)."""
+    t = t_ref[0]
+    b, c = x_out.shape
+    n = kv.shape[2]
+    d = c // n_head
+    scale = jnp.float32(d) ** -0.5
+
+    # the residual stream lives in the x_out VMEM block (constant index map →
+    # one buffer across all grid steps, written back to HBM once at the end);
+    # seed it from the embedding input at the first layer
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        x_out[:] = x_in[:]
+
+    x = x_out[:]                                         # f32 residual stream
+
+    # ---- attention ----
+    xn = _ln(x, ln1_s[0], ln1_b[0]).astype(dtype)
+    qkv = jnp.dot(xn, wqkv[0], preferred_element_type=jnp.float32) + bqkv[0]
+    q = qkv[:, :c] * scale                               # [B, C] f32
+    k_new = qkv[:, c:2 * c]                              # [B, C] f32
+    v_new = qkv[:, 2 * c:]                               # [B, C] f32
+
+    # head-segment matrix S[c, h] = 1 iff lane c belongs to head h
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    seg = (lane // d == head).astype(dtype)              # [C, H]
+
+    kc = kv[0, :, :, :c]                                 # [B, N, C] dtype
+    vc = kv[0, :, :, c:]                                 # [B, N, C] dtype
+    # att[b, n, h] = Σ_d q·k  — elementwise product then MXU segment-sum
+    p = kc * q[:, None, :].astype(dtype)                 # [B, N, C]
+    att = jax.lax.dot_general(
+        p.reshape(b * n, c), seg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(b, n, n_head)
+    att_self = jnp.dot((k_new * q).astype(dtype), seg,
+                       preferred_element_type=jnp.float32)          # [B, H]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    valid = pos < t                                      # rows < t are history
+    att = jnp.where(valid, att, -jnp.inf)
+    m = jnp.maximum(jnp.max(att, axis=1), att_self)      # [B, H]
+    e = jnp.where(valid, jnp.exp(att - m[:, None, :]), 0.0)
+    es = jnp.exp(att_self - m)                           # [B, H]
+    denom = jnp.sum(e, axis=1) + es                      # [B, H]
+
+    segt = seg.T                                         # [H, C]
+    aexp = jax.lax.dot_general(
+        e.astype(dtype).reshape(b * n, n_head), segt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype).reshape(b, n, c)
+    num = jnp.sum((aexp * vc).astype(jnp.float32), axis=1)          # [B, C]
+    num = num + jnp.dot(es.astype(dtype), segt,
+                        preferred_element_type=jnp.float32) * v_new
+    den = jnp.dot(denom.astype(dtype), segt, preferred_element_type=jnp.float32)
+    y = (num / den).astype(dtype)                        # [B, C]
+    x = x + jnp.dot(y, wproj[0], preferred_element_type=jnp.float32) + bproj[0]
+
+    # ---- MLP (exact-erf GELU, matching torch nn.GELU) ----
+    hn = _ln(x, ln2_s[0], ln2_b[0]).astype(dtype)
+    h = jnp.dot(hn, wfc1[0], preferred_element_type=jnp.float32) + bfc1[0]
+    h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(dtype)
+    x = x + jnp.dot(h, wfc2[0], preferred_element_type=jnp.float32) + bfc2[0]
+
+    x_out[:] = x
+    kv_new[0] = jnp.concatenate([k_new, v_new], axis=-1).astype(kv_new.dtype)
+
+
+def fused_decode_stack(x: jax.Array, packed: Dict[str, jax.Array],
+                       kv_cache: jax.Array, t: jax.Array, *, n_head: int,
+                       interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Run all transformer blocks for one decode position in one kernel.
+
+    Args:
+      x: [B, C] f32 — token embedding + positional embedding.
+      packed: stacked weights from :func:`pack_decode_params`.
+      kv_cache: [L, B, N, 2C] — K rows in [..., :C], V in [..., C:]; only
+        rows < t are read. NOT updated here; the caller writes the returned
+        rows at position t (one ``dynamic_update_slice`` for all layers).
+      t: scalar int32 current position.
+
+    Returns (x_out [B, C] f32 pre-ln_f hidden, kv_new [L, B, 2C]).
+    """
+    l, b, n, c2 = kv_cache.shape
+    c = c2 // 2
+    dtype = kv_cache.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((b, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 3 * c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 4 * c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * c, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, n, c2), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, c2), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(_decode_stack_kernel, n_head=n_head, dtype=dtype)
+    x_out, kv_new = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32),
+                   jax.ShapeDtypeStruct((l, b, c2), dtype)],
+        interpret=interpret,
+    )(jnp.asarray([t], jnp.int32), x.astype(jnp.float32),
+      packed["ln1_s"], packed["ln1_b"], packed["wqkv"], packed["bqkv"],
+      packed["wproj"], packed["bproj"], packed["ln2_s"], packed["ln2_b"],
+      packed["wfc1"], packed["bfc1"], packed["wfc2"], packed["bfc2"], kv_cache)
+    return x_out, kv_new
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA executable spec (tests / CPU fallback) — identical math, unfused
+# ---------------------------------------------------------------------------
+
+def reference_decode_stack(x: jax.Array, packed: Dict[str, jax.Array],
+                           kv_cache: jax.Array, t: jax.Array, *, n_head: int
+                           ) -> Tuple[jax.Array, jax.Array]:
+    l, b, n, c2 = kv_cache.shape
+    c = c2 // 2
+    d = c // n_head
+    dtype = kv_cache.dtype
+    x = x.astype(jnp.float32)
+    news = []
+    for i in range(l):
+        xn = _ln(x, packed["ln1_s"][i], packed["ln1_b"][i]).astype(dtype)
+        qkv = jnp.dot(xn, packed["wqkv"][i],
+                      preferred_element_type=jnp.float32) + packed["bqkv"][i]
+        q = (qkv[:, :c] * d ** -0.5).reshape(b, n_head, d)
+        k_new, v_new = qkv[:, c:2 * c], qkv[:, 2 * c:]
+        kc = kv_cache[i, :, :, :c].reshape(b, n, n_head, d)
+        vc = kv_cache[i, :, :, c:].reshape(b, n, n_head, d)
+        att = jnp.einsum("bhd,bnhd->bnh", q.astype(dtype), kc,
+                         preferred_element_type=jnp.float32)
+        att_self = jnp.einsum("bhd,bhd->bh", q, k_new.reshape(b, n_head, d))
+        valid = (jnp.arange(n) < t)[None, :, None]
+        att = jnp.where(valid, att, -jnp.inf)
+        m = jnp.maximum(jnp.max(att, axis=1), att_self)
+        e = jnp.where(valid, jnp.exp(att - m[:, None, :]), 0.0)
+        es = jnp.exp(att_self - m)
+        denom = jnp.sum(e, axis=1) + es
+        num = jnp.einsum("bnh,bnhd->bhd", e.astype(dtype), vc,
+                         preferred_element_type=jnp.float32)
+        num = num + es[..., None] * v_new.reshape(b, n_head, d)
+        y = (num / denom[..., None]).reshape(b, c).astype(dtype)
+        x = x + jnp.dot(y, packed["wproj"][i],
+                        preferred_element_type=jnp.float32) + packed["bproj"][i]
+        hn = _ln(x, packed["ln2_s"][i], packed["ln2_b"][i]).astype(dtype)
+        h = jnp.dot(hn, packed["wfc1"][i],
+                    preferred_element_type=jnp.float32) + packed["bfc1"][i]
+        h = jax.nn.gelu(h, approximate=False).astype(dtype)
+        x = x + jnp.dot(h, packed["wfc2"][i],
+                        preferred_element_type=jnp.float32) + packed["bfc2"][i]
+        news.append(jnp.concatenate([k_new, v_new], axis=-1).astype(dtype))
+    return x, jnp.stack(news)
