@@ -13,9 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vq_vae_gan_diffusion_tpu.models import mingpt
 from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens
 from vq_vae_gan_diffusion_tpu.ops.gpt_decode_pallas import (
-    fused_decode_stack, pack_decode_params, reference_decode_stack)
+    fused_decode_stack, fused_decode_stack_chunked, pack_decode_params,
+    pack_decode_params_chunked, reference_decode_stack)
 
 B, N, L, H, C = 4, 32, 3, 8, 256
 
@@ -83,6 +85,54 @@ def test_fused_sampler_matches_xla_sampler(gpt_setup):
                                interpret=True, **kw)
     assert toks_xla.shape == toks_fused.shape == (B, 10)
     np.testing.assert_array_equal(np.asarray(toks_xla), np.asarray(toks_fused))
+
+
+@pytest.mark.parametrize("n,ts", [
+    # kc=2 (< the 3 qkv steps): chunk-clamp path, boundary positions
+    (128, (0, 1, 63, 64, 65, 127)),
+    # kc=5 (> 3): exercises the KV-only idle sub-steps j=3..4
+    (320, (0, 65, 200, 319)),
+])
+def test_chunked_kernel_matches_spec(n, ts):
+    """Chunked kernel ≡ XLA spec at chunk-boundary history lengths, with a
+    randomly pre-filled cache (only rows < t may be read)."""
+    b, l, h, c = 2, 2, 8, 256
+    gpt = GPT(vocab_size=64, block_size=n, n_layer=l, n_head=h, n_embd=c)
+    params = gpt.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.sin(jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape), params)
+    packed = pack_decode_params(params, l, dtype=jnp.float32)
+    chunked = pack_decode_params_chunked(params, l, dtype=jnp.float32)
+    kv = jax.random.normal(jax.random.PRNGKey(2), (l, b, n, 2 * c))
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, c))
+    for t in ts:
+        h_ref, news_ref = reference_decode_stack(x, packed, kv, jnp.int32(t),
+                                                 n_head=h)
+        h_chk, news_chk = fused_decode_stack_chunked(
+            x, chunked, kv, jnp.int32(t), n_head=h, interpret=True)
+        np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_chk),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"t={t}")
+        np.testing.assert_allclose(np.asarray(news_ref), np.asarray(news_chk),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"t={t}")
+
+
+def test_chunked_sampler_matches_xla_sampler(gpt_setup, monkeypatch):
+    """Forcing the chunked variant end-to-end: token-identical quasi-greedy
+    sampling vs the XLA path, 64-aligned cache included."""
+    gpt, params, _ = gpt_setup
+    monkeypatch.setattr(mingpt, "_whole_layer_footprint",
+                        lambda *a: 1 << 40)
+    rng = jax.random.PRNGKey(7)
+    prefix = jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+                              jax.random.randint(jax.random.PRNGKey(3),
+                                                 (B, 5), 0, 64)], axis=1)
+    kw = dict(prefix_len=6, steps=10, temperature=1e-4, top_k=10)
+    toks_xla = sample_tokens(gpt, params, rng, prefix, fused=False, **kw)
+    toks_chk = sample_tokens(gpt, params, rng, prefix, fused=True,
+                             interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(toks_xla), np.asarray(toks_chk))
 
 
 def test_auto_flag_defaults_to_xla_on_cpu(gpt_setup):

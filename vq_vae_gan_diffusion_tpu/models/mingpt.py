@@ -205,32 +205,27 @@ def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
       prefix: [B, L0] given tokens (SOS + optional partial indices). L0 ≥ 1.
       prefix_len: static length of the given prefix.
       steps: number of tokens to generate.
-      fused: route each token through the single-launch Pallas decode-stack
-        kernel (ops/gpt_decode_pallas.py) instead of ~10 XLA ops per layer —
-        measured 1.47× faster on a v5e at the mnist prior's scale (C=512,
-        L=8, B=16: 167 vs 245 µs/token), where fixed per-op sequencing
-        overhead dominates this op mix. Default (None) auto-enables on TPU
-        for bf16 models with lane-aligned widths whose whole-layer blocks fit
-        VMEM; numerics agree with the XLA path to bf16 tolerance
+      fused: route each token through a single-launch Pallas decode-stack
+        kernel (ops/gpt_decode_pallas.py) instead of ~10 XLA ops per layer,
+        whose ~3 µs/op fixed sequencing overhead dominates this op mix.
+        Small models use the whole-layer-resident kernel (measured 1.47×
+        on a v5e at the mnist prior's scale: 167 vs 245 µs/token at C=512,
+        L=8, B=16); larger ones the VMEM-bounded chunked variant. Default
+        (None) auto-enables on TPU for bf16 models with lane-aligned widths;
+        numerics agree with the XLA path to bf16 tolerance
         (tests/test_gpt_decode_pallas.py).
 
     Returns [B, steps] sampled tokens. Replaces the reference's Python loop of
     full re-forwards (vqTransformer.py:173-216).
     """
     if fused is None:
-        total_ = min(prefix_len + steps - 1, gpt.block_size)
-        n_ = -(-total_ // 16) * 16
-        c_ = gpt.n_embd
-        # whole-layer-resident kernel: per-layer weights (12C²) + KV block
-        # (B·N·2C), double-buffered, must fit VMEM next to the f32
-        # attention intermediates (~3·B·N·C bytes)
-        footprint = 2 * 2 * (12 * c_ * c_ + prefix.shape[0] * n_ * 2 * c_)
-        footprint += 3 * prefix.shape[0] * n_ * c_
-        # threshold calibrated on a v5e: C=512/L=8/B=16/N=128 (24.1 MB by this
-        # formula) compiles and runs 1.47× faster than XLA; C=1024 whole-layer
-        # blocks (96 MB) do not fit
+        # the chunked kernel's largest resident blocks are the [C, C] weight
+        # chunk and the [B, 64, 2C] KV chunk (both double-buffered) plus
+        # ~8 [B, C] f32 scratch rows — bounded for any model the whole-layer
+        # variant can't hold, so auto-enable keys only on backend/dtype/shape
         fused = (jax.default_backend() == "tpu" and gpt.dtype == jnp.bfloat16
-                 and c_ % 128 == 0 and footprint < 26 * 2 ** 20)
+                 and gpt.n_embd % 128 == 0
+                 and _chunked_footprint(gpt, prefix.shape[0]) < 26 * 2 ** 20)
     if fused:
         return _sample_tokens_fused(gpt, params, rng, prefix, prefix_len,
                                     steps, temperature, top_k, interpret)
@@ -265,26 +260,51 @@ def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
     return jnp.swapaxes(out, 0, 1)[:, prefix_len - 1:]
 
 
+def _whole_layer_footprint(gpt: "GPT", b: int, n: int) -> int:
+    """Approx VMEM bytes for the whole-layer-resident kernel: per-layer
+    weights (12C²) + KV block (B·N·2C), double-buffered, next to ~3·B·N·C
+    bytes of f32 attention intermediates. Calibrated on a v5e: C=512/L=8/
+    B=16/N=128 (24.1 MB) compiles and runs 1.47× faster than XLA; C=1024
+    whole-layer blocks (96 MB) do not fit."""
+    c = gpt.n_embd
+    return 2 * 2 * (12 * c * c + b * n * 2 * c) + 3 * b * n * c
+
+
+def _chunked_footprint(gpt: "GPT", b: int) -> int:
+    """Approx VMEM bytes for the chunked kernel: one [C, C] weight chunk and
+    one [B, 64, 2C] KV chunk (double-buffered) + 8 [B, C] f32 scratch rows."""
+    c = gpt.n_embd
+    return 2 * 2 * (c * c + b * 64 * 2 * c) + 8 * 4 * b * c
+
+
 def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
                          prefix_len: int, steps: int, temperature: float,
                          top_k: Optional[int], interpret: bool) -> jax.Array:
     """Sampling scan whose per-token body is ONE Pallas kernel for the whole
     block stack plus a handful of XLA ops (embed, ln_f, head, sample) — see
     ops/gpt_decode_pallas.py for why this beats the op-per-layer XLA path."""
-    from ..ops.gpt_decode_pallas import fused_decode_stack, pack_decode_params
+    from ..ops.gpt_decode_pallas import (
+        fused_decode_stack, fused_decode_stack_chunked, pack_decode_params,
+        pack_decode_params_chunked)
 
     b = prefix.shape[0]
     c = gpt.n_embd
     dtype = gpt.dtype
-    packed = pack_decode_params(params, gpt.n_layer, dtype=dtype)
+    total = min(prefix_len + steps - 1, gpt.block_size)
+    whole_layer = _whole_layer_footprint(
+        gpt, b, -(-total // 16) * 16) < 26 * 2 ** 20
+    if whole_layer:
+        packed = pack_decode_params(params, gpt.n_layer, dtype=dtype)
+        n = -(-total // 16) * 16   # sublane-align the cache length
+    else:
+        packed = pack_decode_params_chunked(params, gpt.n_layer, dtype=dtype)
+        n = -(-total // 64) * 64   # KV-chunk-align the cache length
     tok_emb = params["tok_emb"]["embedding"].astype(jnp.float32)
     pos_emb = params["pos_emb"][0].astype(jnp.float32)
     lnf_s = params["ln_f"]["scale"].astype(jnp.float32)
     lnf_b = params["ln_f"]["bias"].astype(jnp.float32)
     w_head = params["head"]["kernel"].astype(dtype)
 
-    total = min(prefix_len + steps - 1, gpt.block_size)
-    n = -(-total // 16) * 16  # sublane-align the cache length
     kv = jnp.zeros((gpt.n_layer, b, n, 2 * c), dtype)
 
     def body(carry, t):
@@ -292,8 +312,10 @@ def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
         token_in = jnp.where(t < prefix_len,
                              prefix[:, jnp.minimum(t, prefix_len - 1)], token)
         x = tok_emb[token_in] + pos_emb[t]
-        h, news = fused_decode_stack(x, packed, kv, t, n_head=gpt.n_head,
-                                     interpret=interpret)
+        stack_fn = (fused_decode_stack if whole_layer
+                    else fused_decode_stack_chunked)
+        h, news = stack_fn(x, packed, kv, t, n_head=gpt.n_head,
+                           interpret=interpret)
         kv = jax.lax.dynamic_update_slice(kv, news[:, :, None, :], (0, 0, t, 0))
         mu = jnp.mean(h, -1, keepdims=True)
         xc = h - mu

@@ -236,6 +236,285 @@ def fused_decode_stack(x: jax.Array, packed: Dict[str, jax.Array],
 
 
 # ---------------------------------------------------------------------------
+# Chunked variant: VMEM-bounded sub-layer blocking for large models
+# ---------------------------------------------------------------------------
+#
+# The whole-layer kernel above needs 12C² weights resident per grid step —
+# 25 MB at C=1024, over VMEM. This variant re-blocks the SAME math on a
+# (n_layer, S) grid where every sub-step touches at most one [C, C] weight
+# chunk (2 MB bf16) and one [B, Nb, 2C] KV chunk:
+#
+#   j = 0..2            wq / wk / wv chunks → q, k_new, v_new; in the same
+#                       steps, flash-style online-softmax accumulation over
+#                       KV chunks 0..2
+#   j = 3..KVS-1        remaining KV chunks (weight stream idles: the index
+#                       map repeats, so Mosaic skips the DMA)
+#   j = KVS             wproj: fold in the current token's (k,v) analytically,
+#                       finalize y = num/denom, x += y @ wproj
+#   j = KVS+1..KVS+8    MLP, alternating fc1 column-chunk a / fc2 row-chunk a
+#
+# The KV index map clamps to the last chunk containing history (< t), so a
+# token at position t only reads ceil(t/Nb) chunks — average KV traffic is
+# halved vs. the full-cache reads of both the XLA path and the whole-layer
+# kernel. Online-softmax state (m, denom, num) lives in VMEM scratch across
+# sub-steps, like the residual stream x.
+
+_NB = 64           # KV rows per chunk (sublane-aligned for bf16)
+
+
+def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
+                               dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Pack block weights as a uniform [L, 12, C, C] chunk stream.
+
+    Chunk order per layer: wq, wk, wv, wproj, then (fc1 column-chunk a,
+    fc2 row-chunk a) for a = 0..3. Biases/LN affines stay f32; the qkv
+    biases are packed [L, 3, C] so the bias index map can follow j = 0..2.
+    """
+    def get(i, *path):
+        return functools.reduce(lambda d, k: d[k], path, params[f"block{i}"])
+
+    streams, bqkv = [], []
+    for i in range(n_layer):
+        wq = get(i, "attn", "query", "kernel")
+        c = wq.shape[0]
+        chunks = [wq, get(i, "attn", "key", "kernel"),
+                  get(i, "attn", "value", "kernel"),
+                  get(i, "attn", "proj", "kernel")]
+        wfc1, wfc2 = get(i, "fc1", "kernel"), get(i, "fc2", "kernel")
+        for a in range(4):
+            chunks.append(wfc1[:, a * c:(a + 1) * c])
+            chunks.append(wfc2[a * c:(a + 1) * c, :])
+        streams.append(jnp.stack(chunks))
+        bqkv.append(jnp.stack([get(i, "attn", "query", "bias"),
+                               get(i, "attn", "key", "bias"),
+                               get(i, "attn", "value", "bias")]))
+
+    def stack(path, cast):
+        return jnp.stack([get(i, *path) for i in range(n_layer)]).astype(cast)
+
+    l_, c = n_layer, streams[0].shape[-1]
+    return {
+        "wstream": jnp.stack(streams).astype(dtype),            # [L, 12, C, C]
+        "bqkv": jnp.stack(bqkv).astype(jnp.float32),            # [L, 3, C]
+        "ln1_s": stack(["ln1", "scale"], jnp.float32).reshape(l_, 1, c),
+        "ln1_b": stack(["ln1", "bias"], jnp.float32).reshape(l_, 1, c),
+        "bproj": stack(["attn", "proj", "bias"], jnp.float32).reshape(l_, 1, c),
+        "ln2_s": stack(["ln2", "scale"], jnp.float32).reshape(l_, 1, c),
+        "ln2_b": stack(["ln2", "bias"], jnp.float32).reshape(l_, 1, c),
+        "bfc1": stack(["fc1", "bias"], jnp.float32).reshape(l_, 4, c),
+        "bfc2": stack(["fc2", "bias"], jnp.float32).reshape(l_, 1, c),
+    }
+
+
+def _chunked_kernel(t_ref, x_in, wstream, bqkv, ln1_s, ln1_b, bproj, ln2_s,
+                    ln2_b, bfc1, bfc2, kv, x_out, kv_new,
+                    xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
+                    *, n_head: int, dtype, kc: int, kvs: int):
+    t = t_ref[0]
+    j = pl.program_id(1)
+    b, c = x_out.shape
+    nb = kv.shape[2]
+    d = c // n_head
+    scale = jnp.float32(d) ** -0.5
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, j == 0))
+    def _():
+        x_out[:] = x_in[:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    seg = (lane // d == head).astype(dtype)                      # [C, H]
+    segt = seg.T
+
+    # ---- qkv projections (j = 0, 1, 2) ----
+    # the [1, 3, C] qkv-bias block is fetched whole; select the row in-body
+    # (sub-8 sublane blocks are not liftable into the index map)
+    bias_j = jnp.where(j == 0, bqkv[0, 0:1],
+                       jnp.where(j == 1, bqkv[0, 1:2], bqkv[0, 2:3]))
+
+    @pl.when(j == 0)
+    def _():
+        xn_s[:] = _ln(x_out[:], ln1_s[0], ln1_b[0])
+        m_s[:] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        den_s[:] = jnp.zeros(den_s.shape, jnp.float32)
+        num_s[:] = jnp.zeros(num_s.shape, jnp.float32)
+        q_s[:] = (jnp.dot(xn_s[:].astype(dtype), wstream[0, 0],
+                          preferred_element_type=jnp.float32)
+                  + bias_j) * scale
+
+    @pl.when(j == 1)
+    def _():
+        k_s[:] = jnp.dot(xn_s[:].astype(dtype), wstream[0, 0],
+                         preferred_element_type=jnp.float32) + bias_j
+
+    @pl.when(j == 2)
+    def _():
+        v_s[:] = jnp.dot(xn_s[:].astype(dtype), wstream[0, 0],
+                         preferred_element_type=jnp.float32) + bias_j
+        kv_new[0] = jnp.concatenate([k_s[:], v_s[:]],
+                                    axis=-1).astype(kv_new.dtype)
+
+    # ---- online-softmax accumulation over one KV chunk ----
+    @pl.when(jnp.logical_and(j < kc, j * nb < t))
+    def _():
+        kchunk = kv[0, :, :, :c]                                 # [B, Nb, C]
+        vchunk = kv[0, :, :, c:]
+        q = q_s[:]
+        p = kchunk * q[:, None, :].astype(dtype)
+        att = jax.lax.dot_general(
+            p.reshape(b * nb, c), seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(b, nb, n_head)
+        row = j * nb + jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+        valid = row < t
+        att = jnp.where(valid, att, -jnp.inf)
+        m_new = jnp.maximum(m_s[:], jnp.max(att, axis=1))        # [B, H]
+        alpha = jnp.exp(m_s[:] - m_new)
+        e = jnp.where(valid, jnp.exp(att - m_new[:, None, :]), 0.0)
+        den_s[:] = den_s[:] * alpha + jnp.sum(e, axis=1)
+        aexp = jax.lax.dot_general(
+            e.astype(dtype).reshape(b * nb, n_head), segt,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype).reshape(b, nb, c)
+        alpha_l = jnp.dot(alpha.astype(dtype), segt,
+                          preferred_element_type=jnp.float32)    # [B, C]
+        num_s[:] = (num_s[:] * alpha_l
+                    + jnp.sum((aexp * vchunk).astype(jnp.float32), axis=1))
+        m_s[:] = m_new
+
+    # ---- attention finalize + output projection (j = KVS) ----
+    @pl.when(j == kvs)
+    def _():
+        q, k_new, v_new = q_s[:], k_s[:], v_s[:]
+        att_self = jnp.dot((k_new * q).astype(dtype), seg,
+                           preferred_element_type=jnp.float32)   # [B, H]
+        m_f = jnp.maximum(m_s[:], att_self)
+        alpha = jnp.exp(m_s[:] - m_f)
+        es = jnp.exp(att_self - m_f)
+        denom = den_s[:] * alpha + es                            # [B, H]
+        alpha_l = jnp.dot(alpha.astype(dtype), segt,
+                          preferred_element_type=jnp.float32)
+        num = (num_s[:] * alpha_l
+               + jnp.dot(es.astype(dtype), segt,
+                         preferred_element_type=jnp.float32) * v_new)
+        den = jnp.dot(denom.astype(dtype), segt,
+                      preferred_element_type=jnp.float32)
+        y = (num / den).astype(dtype)
+        x_out[:] = (x_out[:] + jnp.dot(y, wstream[0, 0],
+                                       preferred_element_type=jnp.float32)
+                    + bproj[0])
+
+    # ---- MLP (j = KVS+1 .. KVS+8, alternating fc1/fc2 chunks) ----
+    jm = j - (kvs + 1)
+
+    @pl.when(jm == 0)
+    def _():
+        hn_s[:] = _ln(x_out[:], ln2_s[0], ln2_b[0])
+
+    @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 0))
+    def _():
+        a = jm // 2
+        b1 = jnp.where(a == 0, bfc1[0, 0:1],
+                       jnp.where(a == 1, bfc1[0, 1:2],
+                                 jnp.where(a == 2, bfc1[0, 2:3],
+                                           bfc1[0, 3:4])))
+        h = jnp.dot(hn_s[:].astype(dtype), wstream[0, 0],
+                    preferred_element_type=jnp.float32) + b1
+        h_s[:] = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+
+    @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 1))
+    def _():
+        x = x_out[:] + jnp.dot(h_s[:].astype(dtype), wstream[0, 0],
+                               preferred_element_type=jnp.float32)
+        x_out[:] = jnp.where(jm == 7, x + bfc2[0], x)
+
+
+def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
+                               kv_cache: jax.Array, t: jax.Array, *,
+                               n_head: int, interpret: bool = False
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """VMEM-bounded decode step for models whose layers exceed VMEM.
+
+    Same contract as :func:`fused_decode_stack`, but ``packed`` comes from
+    :func:`pack_decode_params_chunked` and ``kv_cache``'s N must be a
+    multiple of 64.
+    """
+    l, b, n, c2 = kv_cache.shape
+    c = c2 // 2
+    dtype = kv_cache.dtype
+    if n % _NB:
+        raise ValueError(f"chunked decode needs N % {_NB} == 0, got {n}")
+    kc = n // _NB
+    kvs = max(kc, 3)
+    s = kvs + 9
+
+    def widx(i, j, t):
+        jc = jnp.where(j < 3, j, jnp.where(j < kvs, 2,
+                       jnp.where(j == kvs, 3, j - kvs + 3)))
+        return (i, jc, 0, 0)
+
+    def kvidx(i, j, t):
+        hist = jnp.maximum((t[0] + _NB - 1) // _NB - 1, 0)
+        return (i, 0, jnp.minimum(jnp.minimum(j, kc - 1), hist), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, s),
+        in_specs=[
+            pl.BlockSpec((b, c), lambda i, j, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, c), widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _NB, c2), kvidx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, c), lambda i, j, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, c2), lambda i, j, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, c), jnp.float32),       # xn
+            pltpu.VMEM((b, c), jnp.float32),       # q
+            pltpu.VMEM((b, c), jnp.float32),       # k_new
+            pltpu.VMEM((b, c), jnp.float32),       # v_new
+            pltpu.VMEM((b, n_head), jnp.float32),  # m
+            pltpu.VMEM((b, n_head), jnp.float32),  # denom
+            pltpu.VMEM((b, c), jnp.float32),       # num
+            pltpu.VMEM((b, c), jnp.float32),       # ln2(x)
+            pltpu.VMEM((b, c), jnp.float32),       # gelu(fc1 chunk)
+        ],
+    )
+    kern = functools.partial(_chunked_kernel, n_head=n_head, dtype=dtype,
+                             kc=kc, kvs=kvs)
+    x_out, kv_new = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32),
+                   jax.ShapeDtypeStruct((l, b, c2), dtype)],
+        interpret=interpret,
+    )(jnp.asarray([t], jnp.int32), x.astype(jnp.float32),
+      packed["wstream"], packed["bqkv"], packed["ln1_s"], packed["ln1_b"],
+      packed["bproj"], packed["ln2_s"], packed["ln2_b"], packed["bfc1"],
+      packed["bfc2"], kv_cache)
+    return x_out, kv_new
+
+
+# ---------------------------------------------------------------------------
 # Plain-XLA executable spec (tests / CPU fallback) — identical math, unfused
 # ---------------------------------------------------------------------------
 
