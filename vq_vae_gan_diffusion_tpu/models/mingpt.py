@@ -271,10 +271,11 @@ def _whole_layer_footprint(gpt: "GPT", b: int, n: int) -> int:
 
 
 def _chunked_footprint(gpt: "GPT", b: int) -> int:
-    """Approx VMEM bytes for the chunked kernel: one [C, C] weight chunk and
-    one [B, 64, 2C] KV chunk (double-buffered) + 8 [B, C] f32 scratch rows."""
+    """Approx VMEM bytes for the chunked kernel: one [C, C] attention chunk,
+    one [C, 2C] MLP chunk and one [B, 64, 2C] KV chunk (each double-buffered)
+    + ~10 [B, C] f32 scratch rows."""
     c = gpt.n_embd
-    return 2 * 2 * (c * c + b * 64 * 2 * c) + 8 * 4 * b * c
+    return 2 * 2 * (3 * c * c + b * 64 * 2 * c) + 10 * 4 * b * c
 
 
 def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,

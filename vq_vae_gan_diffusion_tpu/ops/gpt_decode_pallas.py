@@ -251,7 +251,10 @@ def fused_decode_stack(x: jax.Array, packed: Dict[str, jax.Array],
 #                       map repeats, so Mosaic skips the DMA)
 #   j = KVS             wproj: fold in the current token's (k,v) analytically,
 #                       finalize y = num/denom, x += y @ wproj
-#   j = KVS+1..KVS+8    MLP, alternating fc1 column-chunk a / fc2 row-chunk a
+#   j = KVS+1..KVS+4    MLP: fc1 half a → gelu, then fc2 half a (transposed
+#                       [C, 2C] chunks in a second weight stream — larger
+#                       chunks here halve the sub-step count, and grid-step
+#                       sequencing overhead is ~30% of the kernel)
 #
 # The KV index map clamps to the last chunk containing history (< t), so a
 # token at position t only reads ceil(t/Nb) chunks — average KV traffic is
@@ -264,27 +267,28 @@ _NB = 64           # KV rows per chunk (sublane-aligned for bf16)
 
 def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
                                dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
-    """Pack block weights as a uniform [L, 12, C, C] chunk stream.
+    """Pack block weights as two uniform chunk streams.
 
-    Chunk order per layer: wq, wk, wv, wproj, then (fc1 column-chunk a,
-    fc2 row-chunk a) for a = 0..3. Biases/LN affines stay f32; the qkv
-    biases are packed [L, 3, C] so the bias index map can follow j = 0..2.
+    ``wattn`` [L, 4, C, C]: wq, wk, wv, wproj (fetched at j = 0, 1, 2, KVS).
+    ``wmlp`` [L, 4, C, 2C]: fc1 column-half 0, fc2 row-half 0 (transposed),
+    fc1 column-half 1, fc2 row-half 1 (transposed) — the fc2 halves are
+    stored [C, 2C] and contracted on their second axis. Biases/LN affines
+    stay f32; qkv biases are packed [L, 3, C] (row = j), fc1 biases
+    [L, 2, 2C] (row = MLP half).
     """
     def get(i, *path):
         return functools.reduce(lambda d, k: d[k], path, params[f"block{i}"])
 
-    streams, bqkv = [], []
+    attn, mlp, bqkv = [], [], []
     for i in range(n_layer):
         wq = get(i, "attn", "query", "kernel")
         c = wq.shape[0]
-        chunks = [wq, get(i, "attn", "key", "kernel"),
-                  get(i, "attn", "value", "kernel"),
-                  get(i, "attn", "proj", "kernel")]
+        attn.append(jnp.stack([wq, get(i, "attn", "key", "kernel"),
+                               get(i, "attn", "value", "kernel"),
+                               get(i, "attn", "proj", "kernel")]))
         wfc1, wfc2 = get(i, "fc1", "kernel"), get(i, "fc2", "kernel")
-        for a in range(4):
-            chunks.append(wfc1[:, a * c:(a + 1) * c])
-            chunks.append(wfc2[a * c:(a + 1) * c, :])
-        streams.append(jnp.stack(chunks))
+        mlp.append(jnp.stack([wfc1[:, :2 * c], wfc2[:2 * c, :].T,
+                              wfc1[:, 2 * c:], wfc2[2 * c:, :].T]))
         bqkv.append(jnp.stack([get(i, "attn", "query", "bias"),
                                get(i, "attn", "key", "bias"),
                                get(i, "attn", "value", "bias")]))
@@ -292,21 +296,23 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
     def stack(path, cast):
         return jnp.stack([get(i, *path) for i in range(n_layer)]).astype(cast)
 
-    l_, c = n_layer, streams[0].shape[-1]
+    l_, c = n_layer, attn[0].shape[-1]
     return {
-        "wstream": jnp.stack(streams).astype(dtype),            # [L, 12, C, C]
+        "wattn": jnp.stack(attn).astype(dtype),                 # [L, 4, C, C]
+        "wmlp": jnp.stack(mlp).astype(dtype),                   # [L, 4, C, 2C]
         "bqkv": jnp.stack(bqkv).astype(jnp.float32),            # [L, 3, C]
         "ln1_s": stack(["ln1", "scale"], jnp.float32).reshape(l_, 1, c),
         "ln1_b": stack(["ln1", "bias"], jnp.float32).reshape(l_, 1, c),
         "bproj": stack(["attn", "proj", "bias"], jnp.float32).reshape(l_, 1, c),
         "ln2_s": stack(["ln2", "scale"], jnp.float32).reshape(l_, 1, c),
         "ln2_b": stack(["ln2", "bias"], jnp.float32).reshape(l_, 1, c),
-        "bfc1": stack(["fc1", "bias"], jnp.float32).reshape(l_, 4, c),
+        "bfc1": stack(["fc1", "bias"],
+                      jnp.float32).reshape(l_, 2, 2 * c),
         "bfc2": stack(["fc2", "bias"], jnp.float32).reshape(l_, 1, c),
     }
 
 
-def _chunked_kernel(t_ref, x_in, wstream, bqkv, ln1_s, ln1_b, bproj, ln2_s,
+def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
                     ln2_b, bfc1, bfc2, kv, x_out, kv_new,
                     xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
                     *, n_head: int, dtype, kc: int, kvs: int):
@@ -338,18 +344,18 @@ def _chunked_kernel(t_ref, x_in, wstream, bqkv, ln1_s, ln1_b, bproj, ln2_s,
         m_s[:] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
         den_s[:] = jnp.zeros(den_s.shape, jnp.float32)
         num_s[:] = jnp.zeros(num_s.shape, jnp.float32)
-        q_s[:] = (jnp.dot(xn_s[:].astype(dtype), wstream[0, 0],
+        q_s[:] = (jnp.dot(xn_s[:].astype(dtype), wattn[0, 0],
                           preferred_element_type=jnp.float32)
                   + bias_j) * scale
 
     @pl.when(j == 1)
     def _():
-        k_s[:] = jnp.dot(xn_s[:].astype(dtype), wstream[0, 0],
+        k_s[:] = jnp.dot(xn_s[:].astype(dtype), wattn[0, 0],
                          preferred_element_type=jnp.float32) + bias_j
 
     @pl.when(j == 2)
     def _():
-        v_s[:] = jnp.dot(xn_s[:].astype(dtype), wstream[0, 0],
+        v_s[:] = jnp.dot(xn_s[:].astype(dtype), wattn[0, 0],
                          preferred_element_type=jnp.float32) + bias_j
         kv_new[0] = jnp.concatenate([k_s[:], v_s[:]],
                                     axis=-1).astype(kv_new.dtype)
@@ -399,11 +405,11 @@ def _chunked_kernel(t_ref, x_in, wstream, bqkv, ln1_s, ln1_b, bproj, ln2_s,
         den = jnp.dot(denom.astype(dtype), segt,
                       preferred_element_type=jnp.float32)
         y = (num / den).astype(dtype)
-        x_out[:] = (x_out[:] + jnp.dot(y, wstream[0, 0],
+        x_out[:] = (x_out[:] + jnp.dot(y, wattn[0, 0],
                                        preferred_element_type=jnp.float32)
                     + bproj[0])
 
-    # ---- MLP (j = KVS+1 .. KVS+8, alternating fc1/fc2 chunks) ----
+    # ---- MLP (j = KVS+1 .. KVS+4, fc1 half / fc2 half alternating) ----
     jm = j - (kvs + 1)
 
     @pl.when(jm == 0)
@@ -412,20 +418,18 @@ def _chunked_kernel(t_ref, x_in, wstream, bqkv, ln1_s, ln1_b, bproj, ln2_s,
 
     @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 0))
     def _():
-        a = jm // 2
-        b1 = jnp.where(a == 0, bfc1[0, 0:1],
-                       jnp.where(a == 1, bfc1[0, 1:2],
-                                 jnp.where(a == 2, bfc1[0, 2:3],
-                                           bfc1[0, 3:4])))
-        h = jnp.dot(hn_s[:].astype(dtype), wstream[0, 0],
+        b1 = jnp.where(jm == 0, bfc1[0, 0:1], bfc1[0, 1:2])
+        h = jnp.dot(hn_s[:].astype(dtype), wmlp[0, 0],
                     preferred_element_type=jnp.float32) + b1
         h_s[:] = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
 
     @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 1))
     def _():
-        x = x_out[:] + jnp.dot(h_s[:].astype(dtype), wstream[0, 0],
-                               preferred_element_type=jnp.float32)
-        x_out[:] = jnp.where(jm == 7, x + bfc2[0], x)
+        # fc2 halves are packed transposed [C, 2C]; contract on axis 1
+        x = x_out[:] + jax.lax.dot_general(
+            h_s[:].astype(dtype), wmlp[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x_out[:] = jnp.where(jm == 3, x + bfc2[0], x)
 
 
 def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
@@ -445,12 +449,15 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
         raise ValueError(f"chunked decode needs N % {_NB} == 0, got {n}")
     kc = n // _NB
     kvs = max(kc, 3)
-    s = kvs + 9
+    s = kvs + 5
 
     def widx(i, j, t):
         jc = jnp.where(j < 3, j, jnp.where(j < kvs, 2,
-                       jnp.where(j == kvs, 3, j - kvs + 3)))
+                       jnp.where(j == kvs, 3, 3)))
         return (i, jc, 0, 0)
+
+    def midx(i, j, t):
+        return (i, jnp.clip(j - kvs - 1, 0, 3), 0, 0)
 
     def kvidx(i, j, t):
         hist = jnp.maximum((t[0] + _NB - 1) // _NB - 1, 0)
@@ -463,6 +470,7 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
             pl.BlockSpec((b, c), lambda i, j, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, c), widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, 2 * c), midx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
@@ -475,7 +483,7 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, c), lambda i, j, t: (i, 0, 0),
+            pl.BlockSpec((1, 2, 2 * c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -496,21 +504,25 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
             pltpu.VMEM((b, n_head), jnp.float32),  # denom
             pltpu.VMEM((b, c), jnp.float32),       # num
             pltpu.VMEM((b, c), jnp.float32),       # ln2(x)
-            pltpu.VMEM((b, c), jnp.float32),       # gelu(fc1 chunk)
+            pltpu.VMEM((b, 2 * c), jnp.float32),   # gelu(fc1 half)
         ],
     )
     kern = functools.partial(_chunked_kernel, n_head=n_head, dtype=dtype,
                              kc=kc, kvs=kvs)
+    # the default 16 MB scoped-vmem budget is a compiler cap, not the
+    # hardware's (v5e has 128 MB); the resident blocks here peak at ~21 MB
     x_out, kv_new = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32),
                    jax.ShapeDtypeStruct((l, b, c2), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray([t], jnp.int32), x.astype(jnp.float32),
-      packed["wstream"], packed["bqkv"], packed["ln1_s"], packed["ln1_b"],
-      packed["bproj"], packed["ln2_s"], packed["ln2_b"], packed["bfc1"],
-      packed["bfc2"], kv_cache)
+      packed["wattn"], packed["wmlp"], packed["bqkv"], packed["ln1_s"],
+      packed["ln1_b"], packed["bproj"], packed["ln2_s"], packed["ln2_b"],
+      packed["bfc1"], packed["bfc2"], kv_cache)
     return x_out, kv_new
 
 
