@@ -139,9 +139,23 @@ def main() -> int:
 
     z = jax.random.normal(jax.random.PRNGKey(0), (8192, 256))
     cb = jax.random.normal(jax.random.PRNGKey(1), (1024, 256))
-    f_xla = jax.jit(nearest_codebook_indices)
-    dt_xla = timeit(f_xla, z, cb, iters=50, warmup=3)
-    dt_pl = timeit(nearest_indices_pallas, z, cb, iters=50, warmup=3)
+
+    # at ~1 ms/op the tunnel's per-dispatch jitter (~0.5 ms) swamps the
+    # device time, so chain K data-dependent iterations inside ONE dispatch
+    K = 100
+
+    def chained(fn):
+        def run(zz, cbk):
+            def body(_, acc):
+                idx = fn(acc, cbk)
+                return acc + 1e-9 * idx[:, None].astype(acc.dtype)
+            return jax.lax.fori_loop(0, K, body, zz)
+        return jax.jit(run)
+
+    dt_xla = timeit(chained(nearest_codebook_indices), z, cb,
+                    iters=3, warmup=2) / K
+    dt_pl = timeit(chained(nearest_indices_pallas), z, cb,
+                   iters=3, warmup=2) / K
     results["codebook_argmin_8192x1024x256"] = {
         "xla_us": round(dt_xla * 1e6, 1), "pallas_us": round(dt_pl * 1e6, 1),
         "pallas_speedup": round(dt_xla / dt_pl, 2)}
@@ -158,6 +172,15 @@ def main() -> int:
     lines.append("Reference baseline (same VQGAN step via the reference's torch "
                  "modules on this host's CPU): 10.9 images/s "
                  "(`baselines/torch_cpu_reference.json`).")
+    # preserve the hand-written analysis section across regenerations
+    try:
+        with open("BENCHMARKS.md") as f:
+            old = f.read()
+        idx = old.find("## Notes")
+        if idx >= 0:
+            lines.extend(["", old[idx:].rstrip()])
+    except FileNotFoundError:
+        pass
     with open("BENCHMARKS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(results))
