@@ -135,6 +135,135 @@ def test_chunked_sampler_matches_xla_sampler(gpt_setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(toks_xla), np.asarray(toks_chk))
 
 
+def _dequantize_chunked(pq):
+    """Reconstruct float chunk streams from an int8-packed dict, applying
+    the per-output-channel scales the way the kernel does (fc2ᵀ chunks are
+    row-scaled with the scales stored in lanes [:C])."""
+    c = pq["wattn"].shape[-1]
+    wattn = pq["wattn"].astype(jnp.float32) * pq["sattn"]
+    halves = []
+    for ci in range(4):
+        w = pq["wmlp"][:, ci].astype(jnp.float32)
+        if ci % 2 == 0:
+            halves.append(w * pq["smlp"][:, ci])
+        else:
+            halves.append(w * pq["smlp"][:, ci, 0, :c][:, :, None])
+    out = dict(pq)
+    del out["sattn"], out["smlp"]
+    out["wattn"] = wattn
+    out["wmlp"] = jnp.stack(halves, axis=1)
+    return out
+
+
+def test_chunked_int8_matches_dequantized_kernel():
+    """int8 chunk streams ≡ running the float kernel on the dequantized
+    weights (scale-after-GEMM equals scale-into-weights up to fp reorder)."""
+    b, l, h, c, n = 2, 2, 8, 256, 128
+    gpt = GPT(vocab_size=64, block_size=n, n_layer=l, n_head=h, n_embd=c)
+    params = gpt.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.sin(jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape), params)
+    pq = pack_decode_params_chunked(params, l, dtype=jnp.float32, quant="int8")
+    assert pq["wattn"].dtype == jnp.int8 and pq["wmlp"].dtype == jnp.int8
+    pdq = _dequantize_chunked(pq)
+    kv = jax.random.normal(jax.random.PRNGKey(2), (l, b, n, 2 * c))
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, c))
+    for t in (0, 65, 127):
+        h_q, news_q = fused_decode_stack_chunked(x, pq, kv, jnp.int32(t),
+                                                 n_head=h, interpret=True)
+        h_dq, news_dq = fused_decode_stack_chunked(x, pdq, kv, jnp.int32(t),
+                                                   n_head=h, interpret=True)
+        np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_dq),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"t={t}")
+        np.testing.assert_allclose(np.asarray(news_q), np.asarray(news_dq),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"t={t}")
+    # and the quantization error itself is small: dequantized ≈ float spec
+    packed = pack_decode_params(params, l, dtype=jnp.float32)
+    h_ref, _ = reference_decode_stack(x, packed, kv, jnp.int32(65), n_head=h)
+    h_q, _ = fused_decode_stack_chunked(x, pq, kv, jnp.int32(65),
+                                        n_head=h, interpret=True)
+    err = np.max(np.abs(np.asarray(h_q) - np.asarray(h_ref)))
+    scale = np.max(np.abs(np.asarray(h_ref)))
+    assert err / scale < 0.05, f"int8 relative error {err / scale:.4f}"
+
+
+def test_int8_sampler_end_to_end(gpt_setup):
+    """quant='int8' through sample_tokens: valid tokens, near-identical
+    quasi-greedy choices vs the float path on this small model."""
+    gpt, params, _ = gpt_setup
+    rng = jax.random.PRNGKey(7)
+    prefix = jnp.zeros((B, 1), jnp.int32)
+    kw = dict(prefix_len=1, steps=12, temperature=1e-4, top_k=10)
+    toks_fp = sample_tokens(gpt, params, rng, prefix, fused=False, **kw)
+    toks_q = sample_tokens(gpt, params, rng, prefix, fused=True,
+                           quant="int8", interpret=True, **kw)
+    assert toks_q.shape == (B, 12)
+    assert int(toks_q.min()) >= 0 and int(toks_q.max()) < 64
+    agree = float(np.mean(np.asarray(toks_fp) == np.asarray(toks_q)))
+    assert agree >= 0.75, f"int8 token agreement {agree:.2f}"
+
+
+def test_chunked_int8kv_matches_dequantized_cache():
+    """int8-KV mode ≡ the int8-weights kernel run on the dequantized float
+    cache, and the committed (rows, scales) round-trip to the float rows."""
+    b, l, h, c, n = 2, 2, 8, 256, 128
+    gpt = GPT(vocab_size=64, block_size=n, n_layer=l, n_head=h, n_embd=c)
+    params = gpt.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.sin(jnp.arange(p.size, dtype=jnp.float32)
+                                     ).reshape(p.shape), params)
+    pq = pack_decode_params_chunked(params, l, dtype=jnp.float32,
+                                    quant="int8kv")
+    kv_f = jax.random.normal(jax.random.PRNGKey(2), (l, b, n, 2 * c))
+    # quantize the float cache per (layer, row, batch), k and v separately
+    sk = jnp.maximum(jnp.max(jnp.abs(kv_f[..., :c]), -1), 1e-8) / 127.0
+    sv = jnp.maximum(jnp.max(jnp.abs(kv_f[..., c:]), -1), 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(kv_f[..., :c] / sk[..., None]), -127, 127)
+    vq = jnp.clip(jnp.round(kv_f[..., c:] / sv[..., None]), -127, 127)
+    kv_q = jnp.concatenate([kq, vq], -1).astype(jnp.int8)
+    # scales layout [L, N, 2B]: k-scales in [:, :, :B], v in [:, :, B:]
+    scales = jnp.concatenate([jnp.swapaxes(sk, 1, 2),
+                              jnp.swapaxes(sv, 1, 2)], -1)
+    kv_dq = jnp.concatenate([kq * sk[..., None], vq * sv[..., None]], -1)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, c))
+    for t in (1, 65, 127):
+        h_kv, news_kv, sc_new = fused_decode_stack_chunked(
+            x, pq, kv_q, jnp.int32(t), n_head=h, kv_scales=scales,
+            compute_dtype=jnp.float32, interpret=True)
+        h_dq, news_dq = fused_decode_stack_chunked(
+            x, pq, kv_dq.astype(jnp.float32), jnp.int32(t), n_head=h,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(h_kv), np.asarray(h_dq),
+                                   rtol=2e-2, atol=2e-2, err_msg=f"t={t}")
+        # committed int8 rows × scales ≈ the float rows the plain path commits
+        assert news_kv.dtype == jnp.int8 and sc_new.shape == (l, 1, 2 * b)
+        sk_n, sv_n = sc_new[:, 0, :b], sc_new[:, 0, b:]          # [L, B]
+        deq = jnp.concatenate(
+            [news_kv[..., :c].astype(jnp.float32) * sk_n[..., None],
+             news_kv[..., c:].astype(jnp.float32) * sv_n[..., None]], -1)
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(news_dq),
+                                   rtol=2e-2, atol=2e-2, err_msg=f"t={t}")
+
+
+def test_int8kv_sampler_end_to_end(gpt_setup):
+    """quant='int8kv' through sample_tokens: valid tokens, high agreement
+    with the float path at quasi-greedy temperature."""
+    gpt, params, _ = gpt_setup
+    rng = jax.random.PRNGKey(7)
+    prefix = jnp.zeros((B, 1), jnp.int32)
+    kw = dict(prefix_len=1, steps=12, temperature=1e-4, top_k=10)
+    toks_fp = sample_tokens(gpt, params, rng, prefix, fused=False, **kw)
+    toks_q = sample_tokens(gpt, params, rng, prefix, fused=True,
+                           quant="int8kv", interpret=True, **kw)
+    assert toks_q.shape == (B, 12)
+    assert int(toks_q.min()) >= 0 and int(toks_q.max()) < 64
+    agree = float(np.mean(np.asarray(toks_fp) == np.asarray(toks_q)))
+    assert agree >= 0.75, f"int8kv token agreement {agree:.2f}"
+
+
 def test_auto_flag_defaults_to_xla_on_cpu(gpt_setup):
     """fused=None must not select the TPU kernel on the CPU backend."""
     gpt, params, _ = gpt_setup

@@ -198,6 +198,7 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
 def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
                   prefix_len: int, steps: int, temperature: float = 1.0,
                   top_k: Optional[int] = 100, fused: Optional[bool] = None,
+                  quant: Optional[str] = None,
                   interpret: bool = False) -> jax.Array:
     """KV-cached autoregressive sampling as one ``lax.scan``.
 
@@ -214,10 +215,19 @@ def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
         (None) auto-enables on TPU for bf16 models with lane-aligned widths;
         numerics agree with the XLA path to bf16 tolerance
         (tests/test_gpt_decode_pallas.py).
+      quant: ``'int8'`` streams the block weights as per-output-channel
+        symmetric int8 through the chunked kernel (dequant in-body) — the
+        decode step is weight-DMA bound, so halving the weight bytes is a
+        direct speedup. Opt-in: the sampling distribution shifts by the
+        quantization error (~0.4%/channel); embeddings, LN affines, biases
+        and the LM head stay full precision. Only takes effect on the fused
+        path (quant of the XLA decode path would still be op-bound).
 
     Returns [B, steps] sampled tokens. Replaces the reference's Python loop of
     full re-forwards (vqTransformer.py:173-216).
     """
+    if quant not in (None, "int8", "int8kv"):
+        raise ValueError(f"unsupported quant mode {quant!r}")
     if fused is None:
         # the chunked kernel's largest resident blocks are the [C, C] weight
         # chunk and the [B, 64, 2C] KV chunk (both double-buffered) plus
@@ -228,7 +238,8 @@ def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
                  and _chunked_footprint(gpt, prefix.shape[0]) < 26 * 2 ** 20)
     if fused:
         return _sample_tokens_fused(gpt, params, rng, prefix, prefix_len,
-                                    steps, temperature, top_k, interpret)
+                                    steps, temperature, top_k, interpret,
+                                    quant)
     b = prefix.shape[0]
     # cast the weights to the compute dtype ONCE, outside the scan: flax casts
     # per-use, so bf16 decoding against f32 master params would re-read (and
@@ -280,7 +291,8 @@ def _chunked_footprint(gpt: "GPT", b: int) -> int:
 
 def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
                          prefix_len: int, steps: int, temperature: float,
-                         top_k: Optional[int], interpret: bool) -> jax.Array:
+                         top_k: Optional[int], interpret: bool,
+                         quant: Optional[str] = None) -> jax.Array:
     """Sampling scan whose per-token body is ONE Pallas kernel for the whole
     block stack plus a handful of XLA ops (embed, ln_f, head, sample) — see
     ops/gpt_decode_pallas.py for why this beats the op-per-layer XLA path."""
@@ -292,31 +304,45 @@ def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
     c = gpt.n_embd
     dtype = gpt.dtype
     total = min(prefix_len + steps - 1, gpt.block_size)
-    whole_layer = _whole_layer_footprint(
+    # int8 weight streaming only exists in the chunked variant
+    whole_layer = quant is None and _whole_layer_footprint(
         gpt, b, -(-total // 16) * 16) < 26 * 2 ** 20
     if whole_layer:
         packed = pack_decode_params(params, gpt.n_layer, dtype=dtype)
         n = -(-total // 16) * 16   # sublane-align the cache length
     else:
-        packed = pack_decode_params_chunked(params, gpt.n_layer, dtype=dtype)
+        packed = pack_decode_params_chunked(params, gpt.n_layer, dtype=dtype,
+                                            quant=quant)
         n = -(-total // 64) * 64   # KV-chunk-align the cache length
+    quantkv = quant == "int8kv"
     tok_emb = params["tok_emb"]["embedding"].astype(jnp.float32)
     pos_emb = params["pos_emb"][0].astype(jnp.float32)
     lnf_s = params["ln_f"]["scale"].astype(jnp.float32)
     lnf_b = params["ln_f"]["bias"].astype(jnp.float32)
     w_head = params["head"]["kernel"].astype(dtype)
 
-    kv = jnp.zeros((gpt.n_layer, b, n, 2 * c), dtype)
+    kv = jnp.zeros((gpt.n_layer, b, n, 2 * c),
+                   jnp.int8 if quantkv else dtype)
+    # int8-KV mode: per-row f32 dequant scales, committed alongside the rows
+    kv_sc = jnp.ones((gpt.n_layer, n, 2 * b), jnp.float32) if quantkv else None
 
     def body(carry, t):
-        kv, token, rng = carry
+        kv, kv_sc, token, rng = carry
         token_in = jnp.where(t < prefix_len,
                              prefix[:, jnp.minimum(t, prefix_len - 1)], token)
         x = tok_emb[token_in] + pos_emb[t]
-        stack_fn = (fused_decode_stack if whole_layer
-                    else fused_decode_stack_chunked)
-        h, news = stack_fn(x, packed, kv, t, n_head=gpt.n_head,
-                           interpret=interpret)
+        if whole_layer:
+            h, news = fused_decode_stack(x, packed, kv, t, n_head=gpt.n_head,
+                                         interpret=interpret)
+        elif quantkv:
+            h, news, sc_new = fused_decode_stack_chunked(
+                x, packed, kv, t, n_head=gpt.n_head, kv_scales=kv_sc,
+                compute_dtype=dtype, interpret=interpret)
+            kv_sc = jax.lax.dynamic_update_slice(kv_sc, sc_new, (0, t, 0))
+        else:
+            h, news = fused_decode_stack_chunked(x, packed, kv, t,
+                                                 n_head=gpt.n_head,
+                                                 interpret=interpret)
         kv = jax.lax.dynamic_update_slice(kv, news[:, :, None, :], (0, 0, t, 0))
         mu = jnp.mean(h, -1, keepdims=True)
         xc = h - mu
@@ -328,8 +354,9 @@ def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
             logits = top_k_filter(logits, top_k)
         rng, sub = jax.random.split(rng)
         sampled = jax.random.categorical(sub, logits, axis=-1)
-        return (kv, sampled, rng), sampled
+        return (kv, kv_sc, sampled, rng), sampled
 
-    (_, _, _), out = jax.lax.scan(body, (kv, prefix[:, 0], rng),
-                                  jnp.arange(total))
+    # kv_sc is None (an empty pytree) outside int8kv mode — legal scan carry
+    _, out = jax.lax.scan(body, (kv, kv_sc, prefix[:, 0], rng),
+                          jnp.arange(total))
     return jnp.swapaxes(out, 0, 1)[:, prefix_len - 1:]

@@ -48,6 +48,10 @@ class VQTransformer:
             remat=bool(tcfg.get("remat", False)),
         )
         self.seq_len = self.vqvae.latent_size ** 2
+        # opt-in int8 weight streaming for the fused decode kernel
+        # (architecture.<model>.decode_quant: int8) — sampling only; training
+        # and teacher-forced forwards stay full precision
+        self.decode_quant = tcfg.get("decode_quant", None)
 
     # -- pure functions (take params explicitly) ----------------------------
     def encode_to_z(self, vq_params, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -86,7 +90,8 @@ class VQTransformer:
             [sos, start_indices.astype(jnp.int32)], axis=1)
         steps = steps if steps is not None else self.seq_len
         return sample_tokens(self.gpt, gpt_params, rng, prefix, prefix.shape[1],
-                             steps, temperature, top_k)
+                             steps, temperature, top_k,
+                             quant=self.decode_quant)
 
     def log_images(self, gpt_params, vq_params, x: jax.Array, rng: jax.Array
                    ) -> Dict[str, jax.Array]:

@@ -266,7 +266,8 @@ _NB = 64           # KV rows per chunk (sublane-aligned for bf16)
 
 
 def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
-                               dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+                               dtype=jnp.bfloat16,
+                               quant: str | None = None) -> Dict[str, jax.Array]:
     """Pack block weights as two uniform chunk streams.
 
     ``wattn`` [L, 4, C, C]: wq, wk, wv, wproj (fetched at j = 0, 1, 2, KVS).
@@ -275,6 +276,14 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
     stored [C, 2C] and contracted on their second axis. Biases/LN affines
     stay f32; qkv biases are packed [L, 3, C] (row = j), fc1 biases
     [L, 2, 2C] (row = MLP half).
+
+    ``quant='int8'`` stores the weight chunks as symmetric per-output-channel
+    int8 (scale = max|w|/127 over the contracted axis) plus f32 scale rows
+    ``sattn`` [L, 4, 1, C] / ``smlp`` [L, 4, 1, 2C] (fc2ᵀ chunks contract on
+    their lane axis, so their per-row scales occupy lanes [:C]). The kernel
+    converts int8→``dtype`` in-body and multiplies the f32 GEMM *output* by
+    the scale row — mathematically per-channel dequantization, but the HBM
+    weight stream (what the decode step is bound on) is halved vs bf16.
     """
     def get(i, *path):
         return functools.reduce(lambda d, k: d[k], path, params[f"block{i}"])
@@ -297,9 +306,47 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
         return jnp.stack([get(i, *path) for i in range(n_layer)]).astype(cast)
 
     l_, c = n_layer, attn[0].shape[-1]
+    wattn = jnp.stack(attn)                                     # [L, 4, C, C]
+    wmlp = jnp.stack(mlp)                                       # [L, 4, C, 2C]
+    extra: Dict[str, jax.Array] = {}
+    if quant in ("int8", "int8kv"):   # int8kv quantizes the same weights;
+        # the KV-cache quantization itself happens in-kernel (see
+        # fused_decode_stack_chunked's kv_scales)
+        wattn = wattn.astype(jnp.float32)
+        wmlp = wmlp.astype(jnp.float32)
+        eps = 1e-8
+        # attn chunks all contract on axis 2 → per-output-column scales
+        sattn = jnp.maximum(jnp.max(jnp.abs(wattn), axis=2, keepdims=True),
+                            eps) / 127.0                        # [L, 4, 1, C]
+        wattn = jnp.clip(jnp.round(wattn / sattn), -127, 127).astype(jnp.int8)
+        wq_l, s_l = [], []
+        for ci in range(4):
+            w = wmlp[:, ci]                                     # [L, C, 2C]
+            if ci % 2 == 0:   # fc1 halves: contract axis 1 → per-column
+                s = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True),
+                                eps) / 127.0                    # [L, 1, 2C]
+                div, srow = s, s
+            else:             # fc2ᵀ halves: contract axis 2 → per-row
+                sr = jnp.maximum(jnp.max(jnp.abs(w), axis=2, keepdims=True),
+                                 eps) / 127.0                   # [L, C, 1]
+                div = sr
+                srow = jnp.concatenate([jnp.swapaxes(sr, 1, 2),
+                                        jnp.ones((l_, 1, c))], axis=2)
+            wq_l.append(jnp.clip(jnp.round(w / div), -127, 127)
+                        .astype(jnp.int8))
+            s_l.append(srow)
+        wmlp = jnp.stack(wq_l, axis=1)                          # int8
+        extra = {"sattn": sattn.astype(jnp.float32),
+                 "smlp": jnp.stack(s_l, axis=1).astype(jnp.float32)}
+    elif quant is not None:
+        raise ValueError(f"unsupported quant mode {quant!r}")
+    else:
+        wattn = wattn.astype(dtype)
+        wmlp = wmlp.astype(dtype)
     return {
-        "wattn": jnp.stack(attn).astype(dtype),                 # [L, 4, C, C]
-        "wmlp": jnp.stack(mlp).astype(dtype),                   # [L, 4, C, 2C]
+        "wattn": wattn,                                         # [L, 4, C, C]
+        "wmlp": wmlp,                                           # [L, 4, C, 2C]
+        **extra,
         "bqkv": jnp.stack(bqkv).astype(jnp.float32),            # [L, 3, C]
         "ln1_s": stack(["ln1", "scale"], jnp.float32).reshape(l_, 1, c),
         "ln1_b": stack(["ln1", "bias"], jnp.float32).reshape(l_, 1, c),
@@ -316,6 +363,55 @@ def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
                     ln2_b, bfc1, bfc2, kv, x_out, kv_new,
                     xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
                     *, n_head: int, dtype, kc: int, kvs: int):
+    _chunked_body(t_ref, x_in, wattn, wmlp, None, None, bqkv, ln1_s, ln1_b,
+                  bproj, ln2_s, ln2_b, bfc1, bfc2, kv, None, x_out, kv_new,
+                  None, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
+                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs)
+
+
+def _chunked_kernel_q(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s,
+                      ln1_b, bproj, ln2_s, ln2_b, bfc1, bfc2, kv, x_out,
+                      kv_new, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s,
+                      h_s, *, n_head: int, dtype, kc: int, kvs: int):
+    _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
+                  bproj, ln2_s, ln2_b, bfc1, bfc2, kv, None, x_out, kv_new,
+                  None, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
+                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs)
+
+
+def _chunked_kernel_qkv(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s,
+                        ln1_b, bproj, ln2_s, ln2_b, bfc1, bfc2, kv, kv_sc,
+                        x_out, kv_new, sc_new, xn_s, q_s, k_s, v_s, m_s,
+                        den_s, num_s, hn_s, h_s,
+                        *, n_head: int, dtype, kc: int, kvs: int):
+    _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
+                  bproj, ln2_s, ln2_b, bfc1, bfc2, kv, kv_sc, x_out, kv_new,
+                  sc_new, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
+                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs)
+
+
+def _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
+                  bproj, ln2_s, ln2_b, bfc1, bfc2, kv, kv_sc, x_out, kv_new,
+                  sc_new, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
+                  *, n_head: int, dtype, kc: int, kvs: int):
+    quant = sattn is not None        # static: int8 chunks + f32 scale rows
+    quantkv = kv_sc is not None      # static: int8 KV rows + per-row scales
+
+    def wa():                        # current attention weight chunk, as dtype
+        return wattn[0, 0].astype(dtype) if quant else wattn[0, 0]
+
+    def wm():                        # current MLP weight chunk, as dtype
+        return wmlp[0, 0].astype(dtype) if quant else wmlp[0, 0]
+
+    def sc_a(out):                   # per-output-channel dequant (attention)
+        return out * sattn[0, 0] if quant else out
+
+    def sc_m(out, lanes=None):       # per-output-channel dequant (MLP)
+        if not quant:
+            return out
+        s = smlp[0, 0]
+        return out * (s[:, :lanes] if lanes is not None else s)
+
     t = t_ref[0]
     j = pl.program_id(1)
     b, c = x_out.shape
@@ -344,32 +440,52 @@ def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
         m_s[:] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
         den_s[:] = jnp.zeros(den_s.shape, jnp.float32)
         num_s[:] = jnp.zeros(num_s.shape, jnp.float32)
-        q_s[:] = (jnp.dot(xn_s[:].astype(dtype), wattn[0, 0],
-                          preferred_element_type=jnp.float32)
+        q_s[:] = (sc_a(jnp.dot(xn_s[:].astype(dtype), wa(),
+                               preferred_element_type=jnp.float32))
                   + bias_j) * scale
 
     @pl.when(j == 1)
     def _():
-        k_s[:] = jnp.dot(xn_s[:].astype(dtype), wattn[0, 0],
-                         preferred_element_type=jnp.float32) + bias_j
+        k_s[:] = sc_a(jnp.dot(xn_s[:].astype(dtype), wa(),
+                              preferred_element_type=jnp.float32)) + bias_j
 
     @pl.when(j == 2)
     def _():
-        v_s[:] = jnp.dot(xn_s[:].astype(dtype), wattn[0, 0],
-                         preferred_element_type=jnp.float32) + bias_j
-        kv_new[0] = jnp.concatenate([k_s[:], v_s[:]],
-                                    axis=-1).astype(kv_new.dtype)
+        v_s[:] = sc_a(jnp.dot(xn_s[:].astype(dtype), wa(),
+                              preferred_element_type=jnp.float32)) + bias_j
+        if quantkv:
+            # per-row symmetric int8: the caller commits the int8 rows and
+            # their scales at position t
+            sk = jnp.maximum(jnp.max(jnp.abs(k_s[:]), axis=1,
+                                     keepdims=True), 1e-8) / 127.0   # [B, 1]
+            sv = jnp.maximum(jnp.max(jnp.abs(v_s[:]), axis=1,
+                                     keepdims=True), 1e-8) / 127.0
+            kq = jnp.clip(jnp.round(k_s[:] / sk), -127, 127)
+            vq = jnp.clip(jnp.round(v_s[:] / sv), -127, 127)
+            kv_new[0] = jnp.concatenate([kq, vq], axis=-1).astype(kv_new.dtype)
+            sc_new[0] = jnp.transpose(jnp.concatenate([sk, sv], axis=0))
+        else:
+            kv_new[0] = jnp.concatenate([k_s[:], v_s[:]],
+                                        axis=-1).astype(kv_new.dtype)
 
     # ---- online-softmax accumulation over one KV chunk ----
     @pl.when(jnp.logical_and(j < kc, j * nb < t))
     def _():
         kchunk = kv[0, :, :, :c]                                 # [B, Nb, C]
         vchunk = kv[0, :, :, c:]
+        if quantkv:
+            kchunk = kchunk.astype(dtype)
+            vchunk = vchunk.astype(dtype)
+            srow = kv_sc[0]                                      # [Nb, 2B] f32
+            sk_c = jnp.transpose(srow[:, :b])                    # [B, Nb]
+            sv_c = jnp.transpose(srow[:, b:2 * b])               # [B, Nb]
         q = q_s[:]
         p = kchunk * q[:, None, :].astype(dtype)
         att = jax.lax.dot_general(
             p.reshape(b * nb, c), seg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(b, nb, n_head)
+        if quantkv:
+            att = att * sk_c[:, :, None]                         # dequant k
         row = j * nb + jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
         valid = row < t
         att = jnp.where(valid, att, -jnp.inf)
@@ -377,8 +493,10 @@ def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
         alpha = jnp.exp(m_s[:] - m_new)
         e = jnp.where(valid, jnp.exp(att - m_new[:, None, :]), 0.0)
         den_s[:] = den_s[:] * alpha + jnp.sum(e, axis=1)
+        # dequant v: fold the per-row v-scale into the softmax weights
+        ev = e * sv_c[:, :, None] if quantkv else e
         aexp = jax.lax.dot_general(
-            e.astype(dtype).reshape(b * nb, n_head), segt,
+            ev.astype(dtype).reshape(b * nb, n_head), segt,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype).reshape(b, nb, c)
         alpha_l = jnp.dot(alpha.astype(dtype), segt,
@@ -405,8 +523,9 @@ def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
         den = jnp.dot(denom.astype(dtype), segt,
                       preferred_element_type=jnp.float32)
         y = (num / den).astype(dtype)
-        x_out[:] = (x_out[:] + jnp.dot(y, wattn[0, 0],
-                                       preferred_element_type=jnp.float32)
+        x_out[:] = (x_out[:]
+                    + sc_a(jnp.dot(y, wa(),
+                                   preferred_element_type=jnp.float32))
                     + bproj[0])
 
     # ---- MLP (j = KVS+1 .. KVS+4, fc1 half / fc2 half alternating) ----
@@ -419,32 +538,47 @@ def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
     @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 0))
     def _():
         b1 = jnp.where(jm == 0, bfc1[0, 0:1], bfc1[0, 1:2])
-        h = jnp.dot(hn_s[:].astype(dtype), wmlp[0, 0],
-                    preferred_element_type=jnp.float32) + b1
+        h = sc_m(jnp.dot(hn_s[:].astype(dtype), wm(),
+                         preferred_element_type=jnp.float32)) + b1
         h_s[:] = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
 
     @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 1))
     def _():
         # fc2 halves are packed transposed [C, 2C]; contract on axis 1
-        x = x_out[:] + jax.lax.dot_general(
-            h_s[:].astype(dtype), wmlp[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # (per-row scales live in lanes [:C] of the smlp row)
+        x = x_out[:] + sc_m(jax.lax.dot_general(
+            h_s[:].astype(dtype), wm(), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), lanes=c)
         x_out[:] = jnp.where(jm == 3, x + bfc2[0], x)
 
 
 def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
                                kv_cache: jax.Array, t: jax.Array, *,
-                               n_head: int, interpret: bool = False
-                               ) -> Tuple[jax.Array, jax.Array]:
+                               n_head: int, kv_scales: jax.Array = None,
+                               compute_dtype=None, interpret: bool = False):
     """VMEM-bounded decode step for models whose layers exceed VMEM.
 
     Same contract as :func:`fused_decode_stack`, but ``packed`` comes from
     :func:`pack_decode_params_chunked` and ``kv_cache``'s N must be a
     multiple of 64.
+
+    ``kv_scales`` [L, N, 2B] f32 enables the int8-KV mode: ``kv_cache`` holds
+    per-row symmetric int8 (row r of layer i dequantizes as
+    k = kv[i,:,r,:C]·scales[i,r,:B], v = kv[i,:,r,C:]·scales[i,r,B:]), the
+    k-scale is applied to the attention logits and the v-scale folded into
+    the softmax weights, and the return grows a third element: the [L, 1, 2B]
+    scale row for position t (commit next to the int8 rows). Halves the KV
+    stream — the second-largest HBM term of the decode step after weights.
     """
     l, b, n, c2 = kv_cache.shape
     c = c2 // 2
-    dtype = kv_cache.dtype
+    quantkv = kv_scales is not None
+    if quantkv and kv_cache.dtype != jnp.int8:
+        raise ValueError("kv_scales given but kv_cache is not int8")
+    dtype = compute_dtype
+    if dtype is None:
+        dtype = jnp.bfloat16 if kv_cache.dtype == jnp.int8 else kv_cache.dtype
+    quant = "sattn" in packed
     if n % _NB:
         raise ValueError(f"chunked decode needs N % {_NB} == 0, got {n}")
     kc = n // _NB
@@ -463,6 +597,20 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
         hist = jnp.maximum((t[0] + _NB - 1) // _NB - 1, 0)
         return (i, 0, jnp.minimum(jnp.minimum(j, kc - 1), hist), 0)
 
+    def kvscidx(i, j, t):
+        hist = jnp.maximum((t[0] + _NB - 1) // _NB - 1, 0)
+        return (i, jnp.minimum(jnp.minimum(j, kc - 1), hist), 0)
+
+    scale_specs = []
+    scale_args = []
+    if quant:
+        # f32 dequant scale rows, streamed with the same index maps as their
+        # weight chunks (tiny [1, C]/[1, 2C] blocks — negligible DMA)
+        scale_specs = [
+            pl.BlockSpec((1, 1, 1, c), widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2 * c), midx, memory_space=pltpu.VMEM),
+        ]
+        scale_args = [packed["sattn"], packed["smlp"]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(l, s),
@@ -471,6 +619,7 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, c), widx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, 2 * c), midx, memory_space=pltpu.VMEM),
+            *scale_specs,
             pl.BlockSpec((1, 3, c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
@@ -488,12 +637,16 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
             pl.BlockSpec((1, 1, c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, _NB, c2), kvidx, memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, _NB, 2 * b), kvscidx,
+                            memory_space=pltpu.VMEM)] if quantkv else []),
         ],
         out_specs=[
             pl.BlockSpec((b, c), lambda i, j, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, c2), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, 1, 2 * b), lambda i, j, t: (i, 0, 0),
+                            memory_space=pltpu.VMEM)] if quantkv else []),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, c), jnp.float32),       # xn
@@ -507,23 +660,33 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
             pltpu.VMEM((b, 2 * c), jnp.float32),   # gelu(fc1 half)
         ],
     )
-    kern = functools.partial(_chunked_kernel, n_head=n_head, dtype=dtype,
-                             kc=kc, kvs=kvs)
+    if quantkv:
+        if not quant:
+            raise ValueError("int8 KV requires int8 weights (quant='int8kv')")
+        kern_fn = _chunked_kernel_qkv
+    else:
+        kern_fn = _chunked_kernel_q if quant else _chunked_kernel
+    kern = functools.partial(kern_fn, n_head=n_head, dtype=dtype, kc=kc,
+                             kvs=kvs)
+    out_shape = [jax.ShapeDtypeStruct((b, c), jnp.float32),
+                 jax.ShapeDtypeStruct((l, b, c2), kv_cache.dtype)]
+    if quantkv:
+        out_shape.append(jax.ShapeDtypeStruct((l, 1, 2 * b), jnp.float32))
     # the default 16 MB scoped-vmem budget is a compiler cap, not the
     # hardware's (v5e has 128 MB); the resident blocks here peak at ~21 MB
-    x_out, kv_new = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32),
-                   jax.ShapeDtypeStruct((l, b, c2), dtype)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray([t], jnp.int32), x.astype(jnp.float32),
-      packed["wattn"], packed["wmlp"], packed["bqkv"], packed["ln1_s"],
-      packed["ln1_b"], packed["bproj"], packed["ln2_s"], packed["ln2_b"],
-      packed["bfc1"], packed["bfc2"], kv_cache)
-    return x_out, kv_new
+      packed["wattn"], packed["wmlp"], *scale_args, packed["bqkv"],
+      packed["ln1_s"], packed["ln1_b"], packed["bproj"], packed["ln2_s"],
+      packed["ln2_b"], packed["bfc1"], packed["bfc2"], kv_cache,
+      *([kv_scales] if quantkv else []))
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
