@@ -1,0 +1,96 @@
+"""Batch-packed ShuffleNet bottleneck kernel (ops/shuffle_pallas.py v2).
+
+Interpret-mode (CPU) parity of the packed whole-unit kernel — lanes pack
+G images, the channel shuffle is folded into the final pointwise weights —
+against the flax ResidualBottleneck and the v1 spec:
+- single unit, several (shape, G) combos incl. rectangular cin != cout;
+- chained units (the shuffled halves feed the next unit with no layout ops);
+- pack/unpack round trip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ResidualBottleneck
+from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+    fold_bottleneck_params, fold_bottleneck_params_packed,
+    fused_bottleneck_packed, pack_images, packed_bottleneck_chain,
+    pick_group, unpack_images)
+
+
+def _nontrivial(variables, scale=0.05):
+    return jax.tree_util.tree_map(
+        lambda v: v + scale * jnp.arange(v.size).reshape(v.shape)
+        / max(v.size, 1), variables)
+
+
+def _make_unit(rng, x, cout):
+    mod = ResidualBottleneck(cout)
+    variables = _nontrivial(mod.init(rng, x, train=False))
+    ref = mod.apply(variables, x, train=False)
+    folded = fold_bottleneck_params(variables["params"],
+                                    variables["batch_stats"])
+    return ref, folded
+
+
+def test_pack_unpack_roundtrip():
+    x = jnp.arange(4 * 6 * 5 * 8, dtype=jnp.float32).reshape(4, 6, 5, 8)
+    for g in (1, 2, 4):
+        np.testing.assert_array_equal(
+            np.asarray(unpack_images(pack_images(x, g), g)), np.asarray(x))
+
+
+def test_pick_group():
+    assert pick_group(16, 32, 32) == 4
+    assert pick_group(16, 64, 64) == 2
+    assert pick_group(16, 128, 128) == 1
+    assert pick_group(6, 32, 32) == 3       # must divide the batch
+    assert pick_group(16, 32, 64) == 2      # output lanes bound it too
+
+
+@pytest.mark.parametrize("shape,cout,g", [
+    ((4, 16, 12, 16), 16, 2),     # square unit, packed
+    ((4, 16, 12, 16), 16, 1),     # G=1 degenerate packing
+    ((4, 16, 12, 16), 8, 2),      # rectangular: cout < cin
+    ((8, 16, 12, 16), 32, 4),     # rectangular: cout > cin
+])
+def test_packed_kernel_matches_flax(shape, cout, g):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, shape, jnp.float32)
+    ref, folded = _make_unit(rng, x, cout)
+    ch = shape[-1] // 2
+    pp = fold_bottleneck_params_packed(folded, g, dtype=jnp.float32)
+    y1, y2 = fused_bottleneck_packed(pack_images(x[..., :ch], g),
+                                     pack_images(x[..., ch:], g),
+                                     pp, interpret=True)
+    out = jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)], -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_packed_kernel_multi_tile():
+    """H big enough for several row tiles — halo rows cross tile borders."""
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (2, 64, 8, 8), jnp.float32)
+    ref, folded = _make_unit(rng, x, 8)
+    pp = fold_bottleneck_params_packed(folded, 2, dtype=jnp.float32)
+    y1, y2 = fused_bottleneck_packed(pack_images(x[..., :4], 2),
+                                     pack_images(x[..., 4:], 2),
+                                     pp, interpret=True)
+    out = jnp.concatenate([unpack_images(y1, 2), unpack_images(y2, 2)], -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_packed_chain_matches_flax_chain():
+    """3 units chained packed == 3 flax units applied sequentially."""
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    cur, units = x, []
+    for i in range(3):
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur,
+                                 16 if i < 2 else 8)
+        units.append(folded)
+        cur = ref
+    out = packed_bottleneck_chain(x, units, g=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=1e-4)

@@ -239,6 +239,262 @@ def fold_bottleneck_params(unit_params: Dict[str, Any],
     return out
 
 
+# ---------------------------------------------------------------------------
+# Batch-packed whole-unit kernel (v2)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel above loses to XLA at the narrow-channel stages because its
+# lanes are only ch=32/64 wide (25-50% VPU/MXU utilization) and its prep
+# (full-tensor pad + gathered core/top/bot views) costs several extra HBM
+# round trips. v2 fixes both:
+#
+# - PACKED LANES: G = 128//ch images share the lane dimension, so a branch
+#   half is [B/G, H, W, G*ch] with full 128-lane rows. Depthwise taps shift
+#   only along H (row offsets) and W (sublane shifts) — lanes never move.
+#   Pointwise convs become single MXU matmuls against block-diagonal
+#   [G*ch, G*co2] weights (kron(I_G, w)).
+# - SHUFFLE FOLDED INTO WEIGHTS: channel_shuffle(concat(t1, t2)) followed by
+#   the next unit's split is a fixed permutation with disjoint supports, and
+#   permutations commute with the elementwise SiLU — so the shuffled output
+#   halves are y_a = silu(u1·W1a + u2·W3a + ca), y_b = silu(u1·W1b + u2·W3b
+#   + cb) with column-interleaved copies of w1/w3 built at fold time. The
+#   kernel does NO lane permutation, and consecutive units chain directly:
+#   unit i's (y_a, y_b) are unit i+1's (x1, x2).
+# - NO PREP COPIES: the core tile is BlockSpec'd straight out of the packed
+#   input; only the 1-row top/bot halos are gathered in XLA (2/th of the
+#   tensor), with zeros at the image edges.
+
+
+def _dwpad9(xt, k, b, th, w, j_first, j_last):
+    """Depthwise 3x3 with zero borders on a halo'd [th+2, W, L] f32 tile.
+
+    Pads W in-VMEM, masks the halo rows at the image's first/last row tile,
+    returns [th, W, L]."""
+    z = jnp.zeros((th + 2, 1, xt.shape[-1]), xt.dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    edge = (j_first & (row == 0)) | (j_last & (row == th + 1))
+    xt = jnp.where(edge, jnp.zeros_like(xt), xt)
+    xp = jnp.concatenate([z, xt, z], axis=1)          # [th+2, W+2, L]
+    acc = xp[0:th, 0:w, :] * k[0, 0]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 0 and dx == 0:
+                continue
+            acc = acc + xp[dy:dy + th, dx:dx + w, :] * k[dy, dx]
+    return acc + b
+
+
+def _packed_kernel(x1c, x1t, x1b, x2c, x2t, x2b, k1, b1, k2, b2, w2, c2,
+                   w1a, w3a, ca, w1b, w3b, cb, out1, out2,
+                   *, th: int, w: int, nj: int, mm_dtype):
+    j = pl.program_id(1)
+    j_first, j_last = j == 0, j == nj - 1
+    l_in = x1c.shape[-1]
+
+    def halo(c, t, b):                     # [th+2, W, L] f32
+        return jnp.concatenate([t[0, 0], c[0], b[0, 0]],
+                               axis=0).astype(jnp.float32)
+
+    # branch1: dw3x3(+BN) -> (final pw folded below)
+    u1 = _dwpad9(halo(x1c, x1t, x1b), k1[:], b1[:], th, w, j_first, j_last)
+
+    # branch2: pw+SiLU on the halo'd tile (the dw that follows needs the
+    # neighbour rows), borders re-zeroed (reference pads AFTER this pw),
+    # then dw3x3(+BN)
+    x2 = halo(x2c, x2t, x2b)
+    t2 = jnp.dot(x2.reshape((th + 2) * w, l_in).astype(mm_dtype), w2[:],
+                 preferred_element_type=jnp.float32)
+    t2 = _silu(t2 + c2[:]).reshape(th + 2, w, l_in)
+    # the reference zero-pads AFTER this pw, so at the image's first/last row
+    # the halo must be 0, not silu(pw(0)); the W edges are zero-padded by
+    # _dwpad9 itself
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    border = (j_first & (row == 0)) | (j_last & (row == th + 1))
+    t2 = jnp.where(border, jnp.zeros_like(t2), t2)
+    u2 = _dwpad9(t2, k2[:], b2[:], th, w,
+                 jnp.asarray(False), jnp.asarray(False))
+
+    # final pointwise convs with SiLU and the channel shuffle folded in
+    u1m = u1.reshape(th * w, l_in).astype(mm_dtype)
+    u2m = u2.reshape(th * w, l_in).astype(mm_dtype)
+    y1 = _silu(jnp.dot(u1m, w1a[:], preferred_element_type=jnp.float32)
+               + jnp.dot(u2m, w3a[:], preferred_element_type=jnp.float32)
+               + ca[:])
+    y2 = _silu(jnp.dot(u1m, w1b[:], preferred_element_type=jnp.float32)
+               + jnp.dot(u2m, w3b[:], preferred_element_type=jnp.float32)
+               + cb[:])
+    l_out = out1.shape[-1]
+    out1[0] = y1.reshape(th, w, l_out).astype(out1.dtype)
+    out2[0] = y2.reshape(th, w, l_out).astype(out2.dtype)
+
+
+def pick_group(batch: int, ch: int, co2: int) -> int:
+    """Largest G dividing batch with G*max(ch, co2) <= 128."""
+    g = max(1, 128 // max(ch, co2))
+    while batch % g:
+        g -= 1
+    return g
+
+
+def pack_images(x: jax.Array, g: int) -> jax.Array:
+    """[B, H, W, C] -> [B/G, H, W, G*C] (image g of a group occupies lane
+    block [g*C, (g+1)*C))."""
+    b, h, w, c = x.shape
+    return x.reshape(b // g, g, h, w, c).transpose(0, 2, 3, 1, 4).reshape(
+        b // g, h, w, g * c)
+
+
+def unpack_images(x: jax.Array, g: int) -> jax.Array:
+    bp, h, w, l = x.shape
+    return x.reshape(bp, h, w, g, l // g).transpose(0, 3, 1, 2, 4).reshape(
+        bp * g, h, w, l // g)
+
+
+def fold_bottleneck_params_packed(p: Dict[str, jax.Array], g: int,
+                                  dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Expand a :func:`fold_bottleneck_params` dict for the packed kernel.
+
+    Depthwise taps/biases are lane-tiled xG; w2 becomes kron(I_G, w2); the
+    final pointwise pair (w1, w3) is column-interleaved per the channel
+    shuffle (out[2i] = t1[i], out[2i+1] = t2[i]) and split into the
+    (a = first, b = second) output halves, then block-diagonalized."""
+    ch = p["w2"].shape[0]
+    co2 = p["w1"].shape[-1]
+    if co2 % 2:
+        raise ValueError("packed kernel needs even per-branch width")
+    eye = jnp.eye(g, dtype=jnp.float32)
+
+    def tile_lane(v):          # [..., ch] -> [..., g*ch]
+        return jnp.concatenate([v] * g, axis=-1)
+
+    def blockdiag(w):          # [a, b] -> [g*a, g*b]
+        return jnp.einsum("gh,ab->gahb", eye, w.astype(jnp.float32)).reshape(
+            g * w.shape[0], g * w.shape[1])
+
+    w1 = p["w1"].astype(jnp.float32)
+    w3 = p["w3"].astype(jnp.float32)
+    c1 = p["c1"].reshape(-1).astype(jnp.float32)
+    c3 = p["c3"].reshape(-1).astype(jnp.float32)
+    half = co2 // 2
+    w1a = jnp.zeros((ch, co2), jnp.float32).at[:, 0::2].set(w1[:, :half])
+    w3a = jnp.zeros((ch, co2), jnp.float32).at[:, 1::2].set(w3[:, :half])
+    w1b = jnp.zeros((ch, co2), jnp.float32).at[:, 0::2].set(w1[:, half:])
+    w3b = jnp.zeros((ch, co2), jnp.float32).at[:, 1::2].set(w3[:, half:])
+    ca = jnp.zeros((co2,), jnp.float32).at[0::2].set(c1[:half]).at[1::2].set(
+        c3[:half])
+    cb = jnp.zeros((co2,), jnp.float32).at[0::2].set(c1[half:]).at[1::2].set(
+        c3[half:])
+    out = {
+        "k1": tile_lane(p["k1"]).astype(dtype),
+        "b1": tile_lane(p["b1"].reshape(1, -1)),
+        "k2": tile_lane(p["k2"]).astype(dtype),
+        "b2": tile_lane(p["b2"].reshape(1, -1)),
+        "w2": blockdiag(p["w2"]).astype(dtype),
+        "c2": tile_lane(p["c2"].reshape(1, -1)),
+        "w1a": blockdiag(w1a).astype(dtype),
+        "w3a": blockdiag(w3a).astype(dtype),
+        "w1b": blockdiag(w1b).astype(dtype),
+        "w3b": blockdiag(w3b).astype(dtype),
+        "ca": tile_lane(ca.reshape(1, -1)),
+        "cb": tile_lane(cb.reshape(1, -1)),
+    }
+    # biases/affines stay f32 (added to f32 accumulators in-kernel)
+    for k in ("b1", "b2", "c2", "ca", "cb"):
+        out[k] = out[k].astype(jnp.float32)
+    return out
+
+
+def _pick_tile_packed(h: int, w: int, l: int) -> int:
+    """Largest row tile with ~<=3.5 MB per f32 working array."""
+    budget = 3.5 * 2 ** 20 / 4
+    for t in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if h % t == 0 and (t + 2) * (w + 2) * l <= budget:
+            return t
+    return 1
+
+
+def _edge_rows(x: jax.Array, th: int) -> Tuple[jax.Array, jax.Array]:
+    """top_j = row j*th - 1 (zeros for j=0), bot_j = row (j+1)*th (zeros for
+    the last tile), as [Bp, nj, 1, W, L]."""
+    bp, h, w, l = x.shape
+    nj = h // th
+    z = jnp.zeros((bp, 1, w, l), x.dtype)
+    top = jnp.concatenate([z, x[:, th - 1:h - 1:th]], axis=1)
+    bot = jnp.concatenate([x[:, th:h:th], z], axis=1)
+    return (top.reshape(bp, nj, 1, w, l), bot.reshape(bp, nj, 1, w, l))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck_packed(x1: jax.Array, x2: jax.Array,
+                            params: Dict[str, jax.Array], *,
+                            interpret: bool = False
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Whole ResidualBottleneck on batch-packed branch halves.
+
+    ``x1``/``x2`` [Bp, H, W, L=G*ch] from :func:`pack_images`; ``params``
+    from :func:`fold_bottleneck_params_packed`. Returns the two SHUFFLED
+    output halves [Bp, H, W, G*co2] — feed them straight into the next
+    unit, or ``unpack_images`` + concat for the stage output.
+    """
+    bp, h, w, l_in = x1.shape
+    l_out = params["w1a"].shape[-1]
+    th = _pick_tile_packed(h, w, max(l_in, l_out))
+    nj = h // th
+    x1t, x1b = _edge_rows(x1, th)
+    x2t, x2b = _edge_rows(x2, th)
+    core = lambda l: pl.BlockSpec((1, th, w, l), lambda i, j: (i, j, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    halo = lambda l: pl.BlockSpec((1, 1, 1, w, l), lambda i, j: (i, j, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    p = params
+    kern = functools.partial(_packed_kernel, th=th, w=w, nj=nj,
+                             mm_dtype=p["w2"].dtype)
+    y1, y2 = pl.pallas_call(
+        kern,
+        grid=(bp, nj),
+        out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_out), x1.dtype)] * 2,
+        in_specs=[core(l_in), halo(l_in), halo(l_in),
+                  core(l_in), halo(l_in), halo(l_in),
+                  wspec(p["k1"]), wspec(p["b1"]), wspec(p["k2"]),
+                  wspec(p["b2"]), wspec(p["w2"]), wspec(p["c2"]),
+                  wspec(p["w1a"]), wspec(p["w3a"]), wspec(p["ca"]),
+                  wspec(p["w1b"]), wspec(p["w3b"]), wspec(p["cb"])],
+        out_specs=[core(l_out), core(l_out)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x1, x1t, x1b, x2, x2t, x2b, p["k1"], p["b1"], p["k2"], p["b2"],
+      p["w2"], p["c2"], p["w1a"], p["w3a"], p["ca"], p["w1b"], p["w3b"],
+      p["cb"])
+    return y1, y2
+
+
+def packed_bottleneck_chain(x: jax.Array, units, *, g: int = None,
+                            interpret: bool = False) -> jax.Array:
+    """Run consecutive ResidualBottlenecks through the packed kernel.
+
+    ``units`` — list of :func:`fold_bottleneck_params` dicts (unpacked form;
+    packed expansion is cached per (id, g) by the caller via
+    fold_bottleneck_params_packed upstream — here we accept either form).
+    Pack/unpack happen once around the whole chain; between units the two
+    shuffled halves chain with no layout ops at all.
+    """
+    ch = x.shape[-1] // 2
+    if g is None:
+        co2_max = max(u["w1"].shape[-1] for u in units)
+        g = pick_group(x.shape[0], ch, co2_max)
+    x1 = pack_images(x[..., :ch], g)
+    x2 = pack_images(x[..., ch:], g)
+    for u in units:
+        pu = u if "w1a" in u else fold_bottleneck_params_packed(
+            u, g, dtype=x.dtype)
+        x1, x2 = fused_bottleneck_packed(x1, x2, pu, interpret=interpret)
+    return jnp.concatenate([unpack_images(x1, g), unpack_images(x2, g)],
+                           axis=-1)
+
+
 def reference_bottleneck(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     """Plain-XLA executable spec of the fused kernel (used by tests and as a
     CPU fallback): identical math, unfused."""
