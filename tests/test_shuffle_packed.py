@@ -82,6 +82,26 @@ def test_packed_kernel_multi_tile():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_full_unet_packed_inference():
+    """apply_folded(use_pallas='packed_interpret') ≡ the flax module — the
+    whole UNet with packed unit chains, XLA downsample/time-mlp/resize."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    rng = jax.random.PRNGKey(3)
+    unet = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                       out_channels=1, base_dim=16, dim_mults=(1, 2))
+    x = jax.random.normal(rng, (4, 32, 16, 1), jnp.float32)
+    t = jnp.array([3, 7, 1, 9], jnp.int32)
+    variables = _nontrivial(unet.init(rng, x, None, t, train=False))
+    ref = unet.apply(variables, x, None, t, train=False)
+    folded = fold_unet(variables, dtype=jnp.float32)
+    out = apply_folded(folded, x, t, use_pallas="packed_interpret",
+                       dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_packed_chain_matches_flax_chain():
     """3 units chained packed == 3 flax units applied sequentially."""
     rng = jax.random.PRNGKey(2)

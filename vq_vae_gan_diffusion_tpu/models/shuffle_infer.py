@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.shuffle_pallas import (bn_affine, fold_bottleneck_params,
-                                  fused_bottleneck, reference_bottleneck)
+                                  fused_bottleneck, packed_bottleneck_chain,
+                                  reference_bottleneck)
 
 
 def _bottleneck(x, folded, use_pallas):
@@ -34,6 +35,16 @@ def _bottleneck(x, folded, use_pallas):
     if use_pallas:
         return fused_bottleneck(x, folded)
     return reference_bottleneck(x, folded)
+
+
+def _chain(x, units, use_pallas):
+    """Run consecutive bottlenecks; packed modes fuse the whole chain."""
+    if use_pallas in ("packed", "packed_interpret"):
+        return packed_bottleneck_chain(
+            x, units, interpret=use_pallas == "packed_interpret")
+    for u in units:
+        x = _bottleneck(x, u, use_pallas)
+    return x
 
 
 def _fold_pw(params, stats, dtype):
@@ -131,8 +142,11 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
 
     ``use_pallas=False`` (default) runs the BN-folded shift-add XLA spec —
     measured 2.1× the flax module on a v5e ([16,256,96,64] unit: 2.19 ms vs
-    4.57 ms); the fused Pallas kernel (3.51 ms) is kept opt-in for further
-    tuning (its prep copies + per-tile overheads currently eat the fusion win).
+    4.57 ms); ``'pallas'`` selects the v1 fused kernel (slower than the spec
+    at narrow channels — kept for comparison); ``'packed'`` selects the v2
+    batch-packed whole-chain kernel (lane-packed images, shuffle folded into
+    the pointwise weights, zero layout ops between consecutive units);
+    ``'packed_interpret'``/``'interpret'`` are the CPU test modes.
     """
     params, stats = folded["_raw"], folded["_stats"]
     if use_pallas is None:
@@ -148,17 +162,14 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
     shortcuts = []
     for blk in folded["enc"]:
         n = blk["name"]
-        for i in range(3):
-            x = _bottleneck(x, blk["units"][i], use_pallas)
-        x = _bottleneck(x, blk["units"][3], use_pallas)
+        x = _chain(x, blk["units"][:4], use_pallas)
         shortcut = x
         if t_emb is not None:
             x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
         x = _downsample(x, params[n]["down"], stats[n]["down"], dtype)
         shortcuts.append(shortcut)
 
-    for i in range(3):
-        x = _bottleneck(x, folded["mid"][i], use_pallas)
+    x = _chain(x, folded["mid"], use_pallas)
 
     for blk in folded["dec"]:
         n = blk["name"]
@@ -166,12 +177,10 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, sc.shape[1], sc.shape[2], c), "bilinear")
         x = jnp.concatenate([x, sc], axis=-1).astype(dtype)
-        for i in range(3):
-            x = _bottleneck(x, blk["units"][i], use_pallas)
-        x = _bottleneck(x, blk["units"][3], use_pallas)
+        x = _chain(x, blk["units"][:4], use_pallas)
         if t_emb is not None:
             x = _time_mlp(x, t_emb, params[n]["time_mlp"])
-        x = _bottleneck(x, blk["units"][4], use_pallas)
+        x = _chain(x, blk["units"][4:], use_pallas)
 
     fk = params["final_conv"]["kernel"].astype(dtype)
     fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)

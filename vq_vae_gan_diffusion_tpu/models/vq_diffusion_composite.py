@@ -164,7 +164,9 @@ class VQDiffusionComposite:
             folded = fold_unet({"params": unet_params,
                                 "batch_stats": batch_stats or {}},
                                dtype=self.dtype)
-            use_pallas = True if str(self.fused_sampler) == "pallas" else False
+            mode = str(self.fused_sampler)
+            use_pallas = mode if mode in ("pallas", "packed",
+                                          "packed_interpret") else False
 
             def fwd(x, t):
                 return apply_folded(folded, x, t, use_pallas=use_pallas,

@@ -483,8 +483,11 @@ def packed_bottleneck_chain(x: jax.Array, units, *, g: int = None,
     """
     ch = x.shape[-1] // 2
     if g is None:
-        co2_max = max(u["w1"].shape[-1] for u in units)
-        g = pick_group(x.shape[0], ch, co2_max)
+        g, c = 128, ch
+        for u in units:
+            co2 = u["w1"].shape[-1]
+            g = min(g, pick_group(x.shape[0], c, co2))
+            c = co2   # next unit's per-branch width
     x1 = pack_images(x[..., :ch], g)
     x2 = pack_images(x[..., ch:], g)
     for u in units:

@@ -222,8 +222,11 @@ class GaussianDiffusion3DWorker(BaseWorker):
                 from ..models.shuffle_infer import apply_folded, fold_unet
                 folded = fold_unet({"params": params, "batch_stats": stats},
                                    dtype=unet.dtype)
+                mode = str(fused)
                 process.model_fn = lambda x, c, t: apply_folded(
-                    folded, x, t, use_pallas=str(fused) == "pallas",
+                    folded, x, t,
+                    use_pallas=mode if mode in ("pallas", "packed",
+                                                "packed_interpret") else False,
                     dtype=unet.dtype).astype(x.dtype)
             else:
                 model_fn, _ = bind(params, stats, False)
