@@ -115,6 +115,21 @@ def main() -> int:
         "denoise_steps_per_sec": round(T / dt, 1)}
     print("ddpm", results["ddpm_1000step_sampling_b16"], flush=True)
 
+    # same chain through the batch-packed whole-unit kernel
+    # (fused_sampler: packed)
+    proc_p = GaussianDiffusion3D((256, 96), 1, T, T,
+                                 lambda x, c, t: apply_folded(
+                                     folded, x, t, use_pallas="packed",
+                                     dtype=jnp.bfloat16).astype(x.dtype),
+                                 "noise_mse", "ddpm")
+    sample16p = jax.jit(lambda rng: proc_p.ddpm_sample(rng, 16, False, True))
+    dt = timeit(sample16p, jax.random.PRNGKey(0), iters=2, warmup=1)
+    results["ddpm_1000step_sampling_b16_packed"] = {
+        "seconds_per_chain": round(dt, 2),
+        "denoise_steps_per_sec": round(T / dt, 1)}
+    print("ddpm packed", results["ddpm_1000step_sampling_b16_packed"],
+          flush=True)
+
     # 4: KV-cached AR sampling -------------------------------------------------
     from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens
 
