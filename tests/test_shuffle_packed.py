@@ -102,6 +102,32 @@ def test_full_unet_packed_inference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.parametrize("shape,cout,g", [
+    ((4, 16, 12, 16), 32, 2),     # typical: C -> 2C at half resolution
+    ((4, 16, 12, 16), 16, 2),     # C preserved
+    ((2, 32, 8, 8), 16, 1),       # G=1, multi-tile rows
+])
+def test_packed_downsample_matches_flax(shape, cout, g):
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import (
+        ResidualDownsample)
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        fold_bottleneck_params_packed, fold_downsample_params,
+        fused_downsample_packed)
+
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, shape, jnp.float32)
+    mod = ResidualDownsample(cout)
+    variables = _nontrivial(mod.init(rng, x, train=False))
+    ref = mod.apply(variables, x, train=False)
+    folded = fold_downsample_params(variables["params"],
+                                    variables["batch_stats"])
+    pp = fold_bottleneck_params_packed(folded, g, dtype=jnp.float32)
+    y1, y2 = fused_downsample_packed(pack_images(x, g), pp, interpret=True)
+    out = jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)], -1)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_packed_chain_matches_flax_chain():
     """3 units chained packed == 3 flax units applied sequentially."""
     rng = jax.random.PRNGKey(2)

@@ -76,9 +76,17 @@ def _conv(x, k, b, stride=1, pad=0):
     return y + b
 
 
-def _downsample(x, p, stats, dtype):
-    """ResidualDownsample in jnp with folded BNs (reference unet3d.py:53-72)."""
+def _downsample(x, p, stats, dtype, use_pallas=False):
+    """ResidualDownsample in jnp with folded BNs (reference unet3d.py:53-72);
+    packed modes route through the stride-2 Pallas kernel when H and W are
+    even (odd grids — e.g. mnist 7² — keep the XLA path)."""
     from ..models.unet_shuffle import channel_shuffle
+
+    if (use_pallas in ("packed", "packed_interpret")
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        from ..ops.shuffle_pallas import packed_downsample
+        return packed_downsample(x, p, stats,
+                                 interpret=use_pallas == "packed_interpret")
 
     k, b = _fold_dw(p["b1_dw"], p["b1_bn"], stats["b1_bn"], dtype)
     b1 = _conv(x, k, b, stride=2, pad=1)
@@ -166,7 +174,8 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         shortcut = x
         if t_emb is not None:
             x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
-        x = _downsample(x, params[n]["down"], stats[n]["down"], dtype)
+        x = _downsample(x, params[n]["down"], stats[n]["down"], dtype,
+                        use_pallas)
         shortcuts.append(shortcut)
 
     x = _chain(x, folded["mid"], use_pallas)

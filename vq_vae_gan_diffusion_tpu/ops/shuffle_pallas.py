@@ -376,10 +376,11 @@ def fold_bottleneck_params_packed(p: Dict[str, jax.Array], g: int,
     c1 = p["c1"].reshape(-1).astype(jnp.float32)
     c3 = p["c3"].reshape(-1).astype(jnp.float32)
     half = co2 // 2
-    w1a = jnp.zeros((ch, co2), jnp.float32).at[:, 0::2].set(w1[:, :half])
-    w3a = jnp.zeros((ch, co2), jnp.float32).at[:, 1::2].set(w3[:, :half])
-    w1b = jnp.zeros((ch, co2), jnp.float32).at[:, 0::2].set(w1[:, half:])
-    w3b = jnp.zeros((ch, co2), jnp.float32).at[:, 1::2].set(w3[:, half:])
+    r1, r3 = w1.shape[0], w3.shape[0]   # may differ (downsample: C vs co2)
+    w1a = jnp.zeros((r1, co2), jnp.float32).at[:, 0::2].set(w1[:, :half])
+    w3a = jnp.zeros((r3, co2), jnp.float32).at[:, 1::2].set(w3[:, :half])
+    w1b = jnp.zeros((r1, co2), jnp.float32).at[:, 0::2].set(w1[:, half:])
+    w3b = jnp.zeros((r3, co2), jnp.float32).at[:, 1::2].set(w3[:, half:])
     ca = jnp.zeros((co2,), jnp.float32).at[0::2].set(c1[:half]).at[1::2].set(
         c3[:half])
     cb = jnp.zeros((co2,), jnp.float32).at[0::2].set(c1[half:]).at[1::2].set(
@@ -495,6 +496,173 @@ def packed_bottleneck_chain(x: jax.Array, units, *, g: int = None,
             u, g, dtype=x.dtype)
         x1, x2 = fused_bottleneck_packed(x1, x2, pu, interpret=interpret)
     return jnp.concatenate([unpack_images(x1, g), unpack_images(x2, g)],
+                           axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Batch-packed stride-2 ResidualDownsample kernel
+# ---------------------------------------------------------------------------
+#
+# Same packing + folded-shuffle ideas as the bottleneck v2 kernel, with
+# stride-2 depthwise convs. Mosaic does not lower strided slices on >2-D
+# refs ("only 2D gather"), so the stride-2 taps are expressed with free
+# reshapes instead: column parity by merging (W, L) -> (W/2, 2L) lanes
+# (even cols = lanes [:L], odd = [L:]), row parity by splitting the major
+# dim (R, ...) -> (R/2, 2, ...).
+
+
+def fold_downsample_params(p: Dict[str, Any], stats: Dict[str, Any]
+                           ) -> Dict[str, jax.Array]:
+    """ResidualDownsample params+stats -> the bottleneck-style folded dict
+    (k1/b1 = b1 depthwise+BN, w1/c1 = b1 pointwise, w2/c2 = b2 pointwise 1,
+    k2/b2 = b2 depthwise+BN, w3/c3 = b2 pointwise 2), reusing
+    :func:`fold_bottleneck_params_packed` for the packed expansion."""
+    def dw_fold(conv, bn, st):
+        k = p[conv]["kernel"][:, :, 0, :]
+        bias = p[conv].get("bias", 0.0)
+        s, t = bn_affine(p[bn], st)
+        return k * s, (bias * s + t).reshape(1, -1)
+
+    def pw_fold(name, st):
+        conv = p[name]["conv"]
+        k = conv["kernel"][0, 0]
+        bias = conv.get("bias", 0.0)
+        s, t = bn_affine(p[name]["bn"], st["bn"])
+        return k * s, (bias * s + t).reshape(1, -1)
+
+    k1, b1 = dw_fold("b1_dw", "b1_bn", stats["b1_bn"])
+    w1, c1 = pw_fold("b1_pw", stats["b1_pw"])
+    w2, c2 = pw_fold("b2_pw1", stats["b2_pw1"])
+    k2, b2 = dw_fold("b2_dw", "b2_bn", stats["b2_bn"])
+    w3, c3 = pw_fold("b2_pw2", stats["b2_pw2"])
+    return dict(k1=k1, b1=b1, w1=w1, c1=c1, w2=w2, c2=c2, k2=k2, b2=b2,
+                w3=w3, c3=c3)
+
+
+def _dw2_9(xp, k, b, tho, wo):
+    """Stride-2 depthwise 3x3 on a zero-padded [2*tho+2, W+2, L] tile ->
+    [tho, wo=W/2, L]. out[i,j] = sum_{dy,dx} xp[2i+dy, 2j+dx] * k[dy,dx]."""
+    r2, wp2, l = xp.shape
+    xm = xp.reshape(r2 // 2, 2, wp2 // 2, 2 * l)
+    acc = None
+    for dy in range(3):
+        rsel = (xm[:, dy] if dy < 2 else xm[:, 0][1:])[0:tho]
+        for dx in range(3):
+            if dx == 0:
+                tap = rsel[:, 0:wo, 0:l]            # even cols 0, 2, ...
+            elif dx == 1:
+                tap = rsel[:, 0:wo, l:2 * l]        # odd cols 1, 3, ...
+            else:
+                tap = rsel[:, 1:wo + 1, 0:l]        # even cols 2, 4, ...
+            t = tap * k[dy, dx]
+            acc = t if acc is None else acc + t
+    return acc + b
+
+
+def _packed_down_kernel(xc, xt, xb, k1, b1, k2, b2, w2, c2, w1a, w3a, ca,
+                        w1b, w3b, cb, out1, out2,
+                        *, tho: int, w: int, nj: int, mm_dtype):
+    j = pl.program_id(1)
+    j_first, j_last = j == 0, j == nj - 1
+    l_in = xc.shape[-1]
+    l_mid = w2.shape[-1]
+    wo = w // 2
+    th_in = 2 * tho
+
+    x = jnp.concatenate([xt[0, 0], xc[0], xb[0, 0]],
+                        axis=0).astype(jnp.float32)       # [th_in+2, W, L]
+    zc = jnp.zeros((th_in + 2, 1, l_in), jnp.float32)
+    xp = jnp.concatenate([zc, x, zc], axis=1)             # [th_in+2, W+2, L]
+
+    # branch1: stride-2 dw(+BN); its pw is folded into the output matmuls
+    u1 = _dw2_9(xp, k1[:], b1[:], tho, wo)                # [tho, wo, L]
+
+    # branch2: pw+SiLU at full res (halo rows included for the dw), edge
+    # halo rows re-zeroed (the zero-pad belongs AFTER this pw), then
+    # stride-2 dw(+BN)
+    t2 = jnp.dot(x.reshape((th_in + 2) * w, l_in).astype(mm_dtype), w2[:],
+                 preferred_element_type=jnp.float32)
+    t2 = _silu(t2 + c2[:]).reshape(th_in + 2, w, l_mid)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th_in + 2, 1, 1), 0)
+    border = (j_first & (row == 0)) | (j_last & (row == th_in + 1))
+    t2 = jnp.where(border, jnp.zeros_like(t2), t2)
+    zc2 = jnp.zeros((th_in + 2, 1, l_mid), jnp.float32)
+    t2p = jnp.concatenate([zc2, t2, zc2], axis=1)
+    u2 = _dw2_9(t2p, k2[:], b2[:], tho, wo)               # [tho, wo, Lmid]
+
+    u1m = u1.reshape(tho * wo, l_in).astype(mm_dtype)
+    u2m = u2.reshape(tho * wo, l_mid).astype(mm_dtype)
+    y1 = _silu(jnp.dot(u1m, w1a[:], preferred_element_type=jnp.float32)
+               + jnp.dot(u2m, w3a[:], preferred_element_type=jnp.float32)
+               + ca[:])
+    y2 = _silu(jnp.dot(u1m, w1b[:], preferred_element_type=jnp.float32)
+               + jnp.dot(u2m, w3b[:], preferred_element_type=jnp.float32)
+               + cb[:])
+    l_out = out1.shape[-1]
+    out1[0] = y1.reshape(tho, wo, l_out).astype(out1.dtype)
+    out2[0] = y2.reshape(tho, wo, l_out).astype(out2.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_downsample_packed(x: jax.Array, params: Dict[str, jax.Array], *,
+                            interpret: bool = False
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Whole ResidualDownsample on a batch-packed input.
+
+    ``x`` [Bp, H, W, L=G*C] (full channels — the downsample does not split);
+    ``params`` from fold_downsample_params -> fold_bottleneck_params_packed.
+    Returns the two SHUFFLED output halves [Bp, H/2, W/2, G*co2].
+    """
+    bp, h, w, l_in = x.shape
+    if h % 2 or w % 2:
+        raise ValueError("packed downsample needs even H and W")
+    l_out = params["w1a"].shape[-1]
+    tho = _pick_tile_packed(h // 2, w, max(l_in, l_out))
+    nj = (h // 2) // tho
+    xt, xb = _edge_rows(x, 2 * tho)
+    core = pl.BlockSpec((1, 2 * tho, w, l_in), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, tho, w // 2, l_out), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, 1, 1, w, l_in), lambda i, j: (i, j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    p = params
+    kern = functools.partial(_packed_down_kernel, tho=tho, w=w, nj=nj,
+                             mm_dtype=p["w2"].dtype)
+    y1, y2 = pl.pallas_call(
+        kern,
+        grid=(bp, nj),
+        out_shape=[jax.ShapeDtypeStruct((bp, h // 2, w // 2, l_out),
+                                        x.dtype)] * 2,
+        in_specs=[core, halo, halo,
+                  wspec(p["k1"]), wspec(p["b1"]), wspec(p["k2"]),
+                  wspec(p["b2"]), wspec(p["w2"]), wspec(p["c2"]),
+                  wspec(p["w1a"]), wspec(p["w3a"]), wspec(p["ca"]),
+                  wspec(p["w1b"]), wspec(p["w3b"]), wspec(p["cb"])],
+        out_specs=[ospec, ospec],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, xt, xb, p["k1"], p["b1"], p["k2"], p["b2"], p["w2"], p["c2"],
+      p["w1a"], p["w3a"], p["ca"], p["w1b"], p["w3b"], p["cb"])
+    return y1, y2
+
+
+def packed_downsample(x: jax.Array, raw_params: Dict[str, Any],
+                      raw_stats: Dict[str, Any], *, g: int = None,
+                      interpret: bool = False) -> jax.Array:
+    """NHWC in -> NHWC out ResidualDownsample through the packed kernel."""
+    folded = fold_downsample_params(raw_params, raw_stats)
+    c = x.shape[-1]
+    co2 = folded["w1"].shape[-1]
+    if g is None:
+        g = pick_group(x.shape[0], c, co2)
+    pp = fold_bottleneck_params_packed(folded, g, dtype=x.dtype)
+    y1, y2 = fused_downsample_packed(pack_images(x, g), pp,
+                                     interpret=interpret)
+    return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
 
 
