@@ -49,12 +49,42 @@ def build():
     return worker, state, imgs, rng
 
 
+def _wait_for_healthy_device(max_wait_s: float = 1500.0) -> float:
+    """The axon tunnel occasionally degrades for ~20-30 min (throughput
+    drops ~50x; it recovers on its own). Probe with a small matmul chain and
+    wait it out so the recorded benchmark measures the chip, not the wedge.
+    Returns the last probed TFLOP/s."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
+    probe = jax.jit(lambda a: jax.lax.scan(
+        lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
+    deadline = time.time() + max_wait_s
+    tf = 0.0
+    while True:
+        float(np.asarray(probe(x)).sum())   # warm / sync
+        t0 = time.perf_counter()
+        out = probe(x)
+        float(np.asarray(out).sum())
+        tf = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
+        if tf > 60 or time.time() > deadline:
+            return tf
+        print(f"# device degraded ({tf:.0f} TFLOP/s), waiting...",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
     from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+
+    if jax.default_backend() not in ("cpu",):
+        _wait_for_healthy_device()
 
     worker, state, imgs, rng = build()
     n_chips = jax.local_device_count()
