@@ -265,6 +265,20 @@ def fold_bottleneck_params(unit_params: Dict[str, Any],
 #   tensor), with zeros at the image edges.
 
 
+def _mm_rows(x3, w, bias=None, out_dtype=jnp.float32):
+    """[R, W, L] @ [L, Lo] -> [R, W, Lo] f32, zero-padding W to a multiple
+    of 8 so the (R, W)->R*W merge reshape is sublane-aligned for Mosaic."""
+    r, ww, l = x3.shape
+    w8 = -(-ww // 8) * 8
+    if w8 != ww:
+        x3 = jnp.concatenate([x3, jnp.zeros((r, w8 - ww, l), x3.dtype)],
+                             axis=1)
+    y = jnp.dot(x3.reshape(r * w8, l), w,
+                preferred_element_type=out_dtype)
+    y = y.reshape(r, w8, w.shape[-1])[:, 0:ww]
+    return y if bias is None else y + bias
+
+
 def _dwpad9(xt, k, b, th, w, j_first, j_last):
     """Depthwise 3x3 with zero borders on a halo'd [th+2, W, L] f32 tile.
 
@@ -302,9 +316,7 @@ def _packed_kernel(x1c, x1t, x1b, x2c, x2t, x2b, k1, b1, k2, b2, w2, c2,
     # neighbour rows), borders re-zeroed (reference pads AFTER this pw),
     # then dw3x3(+BN)
     x2 = halo(x2c, x2t, x2b)
-    t2 = jnp.dot(x2.reshape((th + 2) * w, l_in).astype(mm_dtype), w2[:],
-                 preferred_element_type=jnp.float32)
-    t2 = _silu(t2 + c2[:]).reshape(th + 2, w, l_in)
+    t2 = _silu(_mm_rows(x2.astype(mm_dtype), w2[:], c2[:]))
     # the reference zero-pads AFTER this pw, so at the image's first/last row
     # the halo must be 0, not silu(pw(0)); the W edges are zero-padded by
     # _dwpad9 itself
@@ -315,17 +327,12 @@ def _packed_kernel(x1c, x1t, x1b, x2c, x2t, x2b, k1, b1, k2, b2, w2, c2,
                  jnp.asarray(False), jnp.asarray(False))
 
     # final pointwise convs with SiLU and the channel shuffle folded in
-    u1m = u1.reshape(th * w, l_in).astype(mm_dtype)
-    u2m = u2.reshape(th * w, l_in).astype(mm_dtype)
-    y1 = _silu(jnp.dot(u1m, w1a[:], preferred_element_type=jnp.float32)
-               + jnp.dot(u2m, w3a[:], preferred_element_type=jnp.float32)
-               + ca[:])
-    y2 = _silu(jnp.dot(u1m, w1b[:], preferred_element_type=jnp.float32)
-               + jnp.dot(u2m, w3b[:], preferred_element_type=jnp.float32)
-               + cb[:])
-    l_out = out1.shape[-1]
-    out1[0] = y1.reshape(th, w, l_out).astype(out1.dtype)
-    out2[0] = y2.reshape(th, w, l_out).astype(out2.dtype)
+    u1m = u1.astype(mm_dtype)
+    u2m = u2.astype(mm_dtype)
+    y1 = _silu(_mm_rows(u1m, w1a[:]) + _mm_rows(u2m, w3a[:]) + ca[:])
+    y2 = _silu(_mm_rows(u1m, w1b[:]) + _mm_rows(u2m, w3b[:]) + cb[:])
+    out1[0] = y1.astype(out1.dtype)
+    out2[0] = y2.astype(out2.dtype)
 
 
 def pick_group(batch: int, ch: int, co2: int) -> int:
@@ -543,6 +550,13 @@ def _dw2_9(xp, k, b, tho, wo):
     """Stride-2 depthwise 3x3 on a zero-padded [2*tho+2, W+2, L] tile ->
     [tho, wo=W/2, L]. out[i,j] = sum_{dy,dx} xp[2i+dy, 2j+dx] * k[dy,dx]."""
     r2, wp2, l = xp.shape
+    # pad the padded-width to a multiple of 16 so both the source sublane
+    # count and the parity-merged half are 8-aligned for the Mosaic reshape
+    w16 = -(-wp2 // 16) * 16
+    if w16 != wp2:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((r2, w16 - wp2, l), xp.dtype)], axis=1)
+        wp2 = w16
     xm = xp.reshape(r2 // 2, 2, wp2 // 2, 2 * l)
     acc = None
     for dy in range(3):
@@ -580,9 +594,7 @@ def _packed_down_kernel(xc, xt, xb, k1, b1, k2, b2, w2, c2, w1a, w3a, ca,
     # branch2: pw+SiLU at full res (halo rows included for the dw), edge
     # halo rows re-zeroed (the zero-pad belongs AFTER this pw), then
     # stride-2 dw(+BN)
-    t2 = jnp.dot(x.reshape((th_in + 2) * w, l_in).astype(mm_dtype), w2[:],
-                 preferred_element_type=jnp.float32)
-    t2 = _silu(t2 + c2[:]).reshape(th_in + 2, w, l_mid)
+    t2 = _silu(_mm_rows(x.astype(mm_dtype), w2[:], c2[:]))
     row = jax.lax.broadcasted_iota(jnp.int32, (th_in + 2, 1, 1), 0)
     border = (j_first & (row == 0)) | (j_last & (row == th_in + 1))
     t2 = jnp.where(border, jnp.zeros_like(t2), t2)
@@ -590,17 +602,12 @@ def _packed_down_kernel(xc, xt, xb, k1, b1, k2, b2, w2, c2, w1a, w3a, ca,
     t2p = jnp.concatenate([zc2, t2, zc2], axis=1)
     u2 = _dw2_9(t2p, k2[:], b2[:], tho, wo)               # [tho, wo, Lmid]
 
-    u1m = u1.reshape(tho * wo, l_in).astype(mm_dtype)
-    u2m = u2.reshape(tho * wo, l_mid).astype(mm_dtype)
-    y1 = _silu(jnp.dot(u1m, w1a[:], preferred_element_type=jnp.float32)
-               + jnp.dot(u2m, w3a[:], preferred_element_type=jnp.float32)
-               + ca[:])
-    y2 = _silu(jnp.dot(u1m, w1b[:], preferred_element_type=jnp.float32)
-               + jnp.dot(u2m, w3b[:], preferred_element_type=jnp.float32)
-               + cb[:])
-    l_out = out1.shape[-1]
-    out1[0] = y1.reshape(tho, wo, l_out).astype(out1.dtype)
-    out2[0] = y2.reshape(tho, wo, l_out).astype(out2.dtype)
+    u1m = u1.astype(mm_dtype)
+    u2m = u2.astype(mm_dtype)
+    y1 = _silu(_mm_rows(u1m, w1a[:]) + _mm_rows(u2m, w3a[:]) + ca[:])
+    y2 = _silu(_mm_rows(u1m, w1b[:]) + _mm_rows(u2m, w3b[:]) + cb[:])
+    out1[0] = y1.astype(out1.dtype)
+    out2[0] = y2.astype(out2.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
