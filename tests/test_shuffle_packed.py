@@ -128,6 +128,22 @@ def test_packed_downsample_matches_flax(shape, cout, g):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_packed_kernel_bf16():
+    """Production dtype: bf16 activations/weights, f32 accumulation —
+    matches the flax module to bf16 tolerance."""
+    rng = jax.random.PRNGKey(6)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    ref, folded = _make_unit(rng, x, 16)
+    pp = fold_bottleneck_params_packed(folded, 2, dtype=jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    y1, y2 = fused_bottleneck_packed(pack_images(xb[..., :8], 2),
+                                     pack_images(xb[..., 8:], 2),
+                                     pp, interpret=True)
+    out = jnp.concatenate([unpack_images(y1, 2), unpack_images(y2, 2)], -1)
+    np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
+                               np.asarray(ref), atol=0.06, rtol=0.05)
+
+
 def test_packed_chain_matches_flax_chain():
     """3 units chained packed == 3 flax units applied sequentially."""
     rng = jax.random.PRNGKey(2)
