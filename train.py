@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                         help="capture a jax.profiler trace of the first epoch")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay f32)")
+    parser.add_argument("--fused-sampler", type=str, default=None,
+                        choices=["on", "off", "pallas", "packed"],
+                        help="override trainer.<model>.fused_sampler for the "
+                             "ShuffleNet diffusion samplers")
     args = parser.parse_args(argv)
 
     from vq_vae_gan_diffusion_tpu.config import load_config, validate
@@ -51,6 +55,17 @@ def main(argv=None) -> int:
 
     if args.debug:  # reference train.py:36-39
         config = config.replace_path("trainer.num_epochs", 1)
+
+    if args.fused_sampler is not None:
+        val = {"on": True, "off": False}.get(args.fused_sampler,
+                                             args.fused_sampler)
+        for fam in ("gaussiandiffusion3d", "vqdiffusion"):
+            if fam in config.trainer:
+                config = config.replace_path(
+                    f"trainer.{fam}.fused_sampler", val)
+        if "vqdiffusion" in config.architecture:
+            config = config.replace_path(
+                "architecture.vqdiffusion.fused_sampler", val)
 
     run_dir = create_run_dir(str(config.trainer.log_dir), dataset_name, model_name,
                              args.config)

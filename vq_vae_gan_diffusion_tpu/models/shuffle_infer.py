@@ -37,8 +37,16 @@ def _bottleneck(x, folded, use_pallas):
     return reference_bottleneck(x, folded)
 
 
+def _resolve_mode(use_pallas):
+    """'packed' off-TPU degrades to the interpret kernel (CPU tests, debug)."""
+    if use_pallas == "packed" and jax.default_backend() != "tpu":
+        return "packed_interpret"
+    return use_pallas
+
+
 def _chain(x, units, use_pallas):
     """Run consecutive bottlenecks; packed modes fuse the whole chain."""
+    use_pallas = _resolve_mode(use_pallas)
     if use_pallas in ("packed", "packed_interpret"):
         return packed_bottleneck_chain(
             x, units, interpret=use_pallas == "packed_interpret")
@@ -82,6 +90,7 @@ def _downsample(x, p, stats, dtype, use_pallas=False):
     even (odd grids — e.g. mnist 7² — keep the XLA path)."""
     from ..models.unet_shuffle import channel_shuffle
 
+    use_pallas = _resolve_mode(use_pallas)
     if (use_pallas in ("packed", "packed_interpret")
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         from ..ops.shuffle_pallas import packed_downsample
