@@ -95,3 +95,8 @@ def test_composite_fused_sampler_matches_module(tiny_config, rng):
     # discrete indices after the argmin decode: demand near-total agreement
     agree = float(jnp.mean((a == b).astype(jnp.float32)))
     assert agree > 0.99, f"fused sampler diverged: agreement {agree}"
+    # the batch-packed kernel chain draws the same indices too
+    comp.fused_sampler = "packed_interpret"
+    c = comp.sample(params, stats, jax.random.PRNGKey(3), 2)
+    agree = float(jnp.mean((b == c).astype(jnp.float32)))
+    assert agree > 0.99, f"packed sampler diverged: agreement {agree}"
