@@ -8,6 +8,7 @@ the full set and writes BENCHMARKS.md:
 2. VQGAN train step, Oxford-scale (batch 20 @ 256²·3, bf16) — images/s/chip
 3. 1000-step DDPM reverse chain (ShuffleNet U-Net, device-resident scan)
    — denoise steps/s
+3b. discrete VQ-diffusion (mask-and-replace) sampling chain — denoise steps/s
 4. KV-cached AR sampling, 256 tokens, GPT 12L/16H/1024 — tokens/s
 5. Pallas vs XLA codebook nearest-neighbour — µs per 8192×1024×256 search
 
@@ -128,6 +129,47 @@ def main() -> int:
         "seconds_per_chain": round(dt, 2),
         "denoise_steps_per_sec": round(T / dt, 1)}
     print("ddpm packed", results["ddpm_1000step_sampling_b16_packed"],
+          flush=True)
+
+    # same chain through the v3 whole-chain kernel (one launch per stage,
+    # activations stay in VMEM between units; fused_sampler: chain)
+    proc_c = GaussianDiffusion3D((256, 96), 1, T, T,
+                                 lambda x, c, t: apply_folded(
+                                     folded, x, t, use_pallas="chain",
+                                     dtype=jnp.bfloat16).astype(x.dtype),
+                                 "noise_mse", "ddpm")
+    sample16c = jax.jit(lambda rng: proc_c.ddpm_sample(rng, 16, False, True))
+    dt = timeit(sample16c, jax.random.PRNGKey(0), iters=2, warmup=1)
+    results["ddpm_1000step_sampling_b16_chain"] = {
+        "seconds_per_chain": round(dt, 2),
+        "denoise_steps_per_sec": round(T / dt, 1)}
+    print("ddpm chain", results["ddpm_1000step_sampling_b16_chain"],
+          flush=True)
+
+    # 3b: discrete VQ-diffusion (mask-and-replace) sampling chain --------------
+    # Reference Diffusion_VQ_Official.sample (diffusion_vq_official.py:515-577):
+    # full reverse loop, ShuffleNet U-Net over the [K, N] log-onehot image.
+    from vq_vae_gan_diffusion_tpu.models.vq_diffusion_composite import (
+        VQDiffusionComposite)
+    cfg6 = load_config("configs/training_config_mnist.yml")
+    cfg6 = cfg6.replace_path("architecture.model_name", "vqdiffusion")
+    cfg6 = cfg6.replace_path("architecture.vqdiffusion.diffusion_type",
+                             "VQ_Official")
+    comp = VQDiffusionComposite(cfg6, dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        uvars = comp.unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, comp.prior.num_classes, comp.seq_len, 1)), None,
+            jnp.zeros((1,), jnp.int32), train=False)
+    uvars = jax.device_put(uvars, jax.devices()[0])
+    Td = comp.prior.sampling_timesteps
+    sample_disc = jax.jit(lambda rng: comp.sample(
+        uvars["params"], uvars.get("batch_stats", {}), rng, 16))
+    dt = timeit(sample_disc, jax.random.PRNGKey(0), iters=1, warmup=1)
+    results["vq_official_discrete_sampling_b16"] = {
+        "seconds_per_chain": round(dt, 2),
+        "denoise_steps_per_sec": round(Td / dt, 1)}
+    print("discrete", results["vq_official_discrete_sampling_b16"],
           flush=True)
 
     # 4: KV-cached AR sampling -------------------------------------------------

@@ -156,3 +156,64 @@ def test_packed_chain_matches_flax_chain():
         cur = ref
     out = packed_bottleneck_chain(x, units, g=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=1e-4)
+
+
+def _chain_case(shape, couts, seed=2):
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(rng, shape, jnp.float32)
+    cur, units = x, []
+    for i, co in enumerate(couts):
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, co)
+        units.append(folded)
+        cur = ref
+    return x, units, cur
+
+
+@pytest.mark.parametrize("shape,couts", [
+    ((4, 16, 12, 16), (16, 16, 8)),    # single row tile, width change
+    ((2, 512, 8, 8), (8, 8, 8, 8)),    # 4 units, nj=2 row tiles (halo path)
+    ((4, 16, 12, 16), (16,)),          # degenerate 1-unit chain
+])
+def test_whole_chain_kernel_matches_flax(shape, couts):
+    """v3 whole-chain kernel (one pallas launch, overlap-recompute halos)
+    == the flax units applied sequentially."""
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_bottleneck_chain_whole)
+
+    x, units, ref = _chain_case(shape, couts)
+    out = packed_bottleneck_chain_whole(x, units, g=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_whole_chain_kernel_bf16():
+    """Production dtype through the whole-chain kernel."""
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_bottleneck_chain_whole)
+
+    x, units, ref = _chain_case((2, 32, 8, 8), (8, 8, 8))
+    units = [{k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+              for k, v in u.items()} for u in units]
+    out = packed_bottleneck_chain_whole(x.astype(jnp.bfloat16), units, g=2,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
+                               np.asarray(ref), atol=0.15, rtol=0.1)
+
+
+def test_full_unet_chain_inference():
+    """apply_folded(use_pallas='chain_interpret') ≡ the flax module — whole
+    stages through the v3 kernel, packed downsample, XLA time-mlp/resize."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    rng = jax.random.PRNGKey(4)
+    unet = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                       out_channels=1, base_dim=16, dim_mults=(1, 2))
+    x = jax.random.normal(rng, (4, 32, 16, 1), jnp.float32)
+    t = jnp.array([3, 7, 1, 9], jnp.int32)
+    variables = _nontrivial(unet.init(rng, x, None, t, train=False))
+    ref = unet.apply(variables, x, None, t, train=False)
+    folded = fold_unet(variables, dtype=jnp.float32)
+    out = apply_folded(folded, x, t, use_pallas="chain_interpret",
+                       dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

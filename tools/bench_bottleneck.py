@@ -161,6 +161,41 @@ def main():
                 continue
             if ref is None:
                 ref = dt
+        # 4-unit chain (one encoder stage): per-unit HBM round trips vs the
+        # v3 whole-chain kernel (activations resident in VMEM across units)
+        from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+            fused_chain_whole)
+        units = [make_params(jax.random.fold_in(jax.random.PRNGKey(2), i),
+                             ch) for i in range(4)]
+        pus = [fold_bottleneck_params_packed(u, g) for u in units]
+
+        def spec_x4(x, _):
+            for u in units:
+                x = reference_bottleneck(x, u)
+            return x
+
+        def packed_x4_resident(xr, _):
+            lh = xr.shape[-1] // 2
+            a, b2 = xr[..., :lh], xr[..., lh:]
+            for pu in pus:
+                a, b2 = fused_bottleneck_packed(a, b2, pu)
+            return jnp.concatenate([a, b2], -1)
+
+        def chain_x4_resident(xr, _):
+            lh = xr.shape[-1] // 2
+            y1, y2 = fused_chain_whole(xr[..., :lh], xr[..., lh:], pus)
+            return jnp.concatenate([y1, y2], -1)
+
+        for tag, fn, x0 in [
+                ("chain: spec x4", spec_x4, x),
+                (f"chain: packed x4 resident", packed_x4_resident, xp_res),
+                (f"chain: whole-chain kernel", chain_x4_resident, xp_res)]:
+            try:
+                timeit(tag, fn, x0, p)
+            except Exception as e:  # noqa
+                print(f"  {tag:28s} FAILED: {type(e).__name__}: {e}"[:120],
+                      flush=True)
+
         # numerics cross-check at this shape
         y0 = reference_bottleneck(x, p)
         for tag, fn in [("conv dw", conv_bottleneck),

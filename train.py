@@ -37,7 +37,7 @@ def main(argv=None) -> int:
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay f32)")
     parser.add_argument("--fused-sampler", type=str, default=None,
-                        choices=["on", "off", "pallas", "packed"],
+                        choices=["on", "off", "pallas", "packed", "chain"],
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
     args = parser.parse_args(argv)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.shuffle_pallas import (bn_affine, fold_bottleneck_params,
                                   fused_bottleneck, packed_bottleneck_chain,
+                                  packed_bottleneck_chain_whole,
                                   reference_bottleneck)
 
 
@@ -38,15 +39,19 @@ def _bottleneck(x, folded, use_pallas):
 
 
 def _resolve_mode(use_pallas):
-    """'packed' off-TPU degrades to the interpret kernel (CPU tests, debug)."""
-    if use_pallas == "packed" and jax.default_backend() != "tpu":
-        return "packed_interpret"
+    """'packed'/'chain' off-TPU degrade to interpret kernels (CPU tests)."""
+    if use_pallas in ("packed", "chain") and jax.default_backend() != "tpu":
+        return use_pallas + "_interpret"
     return use_pallas
 
 
 def _chain(x, units, use_pallas):
-    """Run consecutive bottlenecks; packed modes fuse the whole chain."""
+    """Run consecutive bottlenecks; packed modes fuse per unit, chain modes
+    fuse the whole stage into one kernel launch (activations stay in VMEM)."""
     use_pallas = _resolve_mode(use_pallas)
+    if use_pallas in ("chain", "chain_interpret"):
+        return packed_bottleneck_chain_whole(
+            x, units, interpret=use_pallas == "chain_interpret")
     if use_pallas in ("packed", "packed_interpret"):
         return packed_bottleneck_chain(
             x, units, interpret=use_pallas == "packed_interpret")
@@ -91,11 +96,12 @@ def _downsample(x, p, stats, dtype, use_pallas=False):
     from ..models.unet_shuffle import channel_shuffle
 
     use_pallas = _resolve_mode(use_pallas)
-    if (use_pallas in ("packed", "packed_interpret")
+    if (use_pallas in ("packed", "packed_interpret",
+                       "chain", "chain_interpret")
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         from ..ops.shuffle_pallas import packed_downsample
         return packed_downsample(x, p, stats,
-                                 interpret=use_pallas == "packed_interpret")
+                                 interpret=use_pallas.endswith("interpret"))
 
     k, b = _fold_dw(p["b1_dw"], p["b1_bn"], stats["b1_bn"], dtype)
     b1 = _conv(x, k, b, stride=2, pad=1)

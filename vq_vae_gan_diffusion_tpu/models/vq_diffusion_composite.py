@@ -165,8 +165,8 @@ class VQDiffusionComposite:
                                 "batch_stats": batch_stats or {}},
                                dtype=self.dtype)
             mode = str(self.fused_sampler)
-            use_pallas = mode if mode in ("pallas", "packed",
-                                          "packed_interpret") else False
+            use_pallas = mode if mode in ("pallas", "packed", "packed_interpret",
+                                          "chain", "chain_interpret") else False
 
             def fwd(x, t):
                 return apply_folded(folded, x, t, use_pallas=use_pallas,

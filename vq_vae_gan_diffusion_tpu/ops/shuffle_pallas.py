@@ -413,10 +413,11 @@ def fold_bottleneck_params_packed(p: Dict[str, jax.Array], g: int,
 
 
 def _pick_tile_packed(h: int, w: int, l: int) -> int:
-    """Largest row tile with ~<=3.5 MB per f32 working array."""
+    """Largest row tile (any divisor of h) with ~<=3.5 MB per f32 array."""
     budget = 3.5 * 2 ** 20 / 4
-    for t in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-        if h % t == 0 and (t + 2) * (w + 2) * l <= budget:
+    for t in sorted((d for d in range(1, min(h, 256) + 1) if h % d == 0),
+                    reverse=True):
+        if (t + 2) * (w + 2) * l <= budget:
             return t
     return 1
 
@@ -669,6 +670,185 @@ def packed_downsample(x: jax.Array, raw_params: Dict[str, Any],
     pp = fold_bottleneck_params_packed(folded, g, dtype=x.dtype)
     y1, y2 = fused_downsample_packed(pack_images(x, g), pp,
                                      interpret=interpret)
+    return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
+                           axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Whole-chain kernel (v3): every bottleneck of a stage in ONE pallas launch
+# ---------------------------------------------------------------------------
+#
+# The v2 packed kernel removed layout ops between consecutive units but still
+# writes + re-reads the two packed activation halves in HBM once per unit —
+# for a 4-unit encoder stage that is 4× (read+write) of activation traffic on
+# a chain that is HBM-bound. v3 runs the WHOLE chain inside one kernel:
+# activations never leave VMEM between units. Cross-unit halos are handled by
+# overlap recompute: each 3×3 depthwise consumes one row of validity per
+# side, so a chain of k units needs k extra input rows per side
+# (fetched by :func:`_edge_rows_k`, 2k/th duplicated HBM reads — 12.5% at
+# th=64, k=4) and the tile computes k garbage rows per side that are simply
+# not written back. Out-of-image rows (first/last row tile) are re-zeroed
+# before every conv so each unit sees the reference's zero padding.
+#
+# HBM activation traffic per stage: v2 ≈ k·(R+W); v3 ≈ (1+2k/th)·R + W.
+
+
+def _dwfull9(xt, k, b, w):
+    """Depthwise 3×3 on a full [T, W, L] tile → [T, W, L] (same-size).
+
+    W borders are zero-padded in VMEM (matching the reference's zero pad);
+    row borders use a zero pad too, so output rows 0 and T-1 are only valid
+    at true image edges — interior tiles treat them as the overlap-recompute
+    garbage zone."""
+    t, ww, l = xt.shape
+    zr = jnp.zeros((1, ww, l), xt.dtype)
+    xp = jnp.concatenate([zr, xt, zr], axis=0)            # [T+2, W, L]
+    zc = jnp.zeros((t + 2, 1, l), xt.dtype)
+    xp = jnp.concatenate([zc, xp, zc], axis=1)            # [T+2, W+2, L]
+    acc = xp[0:t, 0:ww, :] * k[0, 0]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 0 and dx == 0:
+                continue
+            acc = acc + xp[dy:dy + t, dx:dx + ww, :] * k[dy, dx]
+    return acc + b
+
+
+_CHAIN_KEYS = ("k1", "b1", "k2", "b2", "w2", "c2",
+               "w1a", "w3a", "ca", "w1b", "w3b", "cb")
+
+
+def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
+                         n_units: int, mm_dtype):
+    x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
+    wrefs = refs[6:6 + 12 * n_units]
+    out1, out2 = refs[6 + 12 * n_units:]
+    j = pl.program_id(1)
+    j_first, j_last = j == 0, j == nj - 1
+    t_rows = th + 2 * k
+
+    def full(c, t, b):                     # [T, W, L] f32
+        return jnp.concatenate([t[0, 0], c[0], b[0, 0]],
+                               axis=0).astype(jnp.float32)
+
+    x1 = full(x1c, x1t, x1b)
+    x2 = full(x2c, x2t, x2b)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 1, 1), 0)
+    oob = (j_first & (row < k)) | (j_last & (row >= th + k))
+
+    for u in range(n_units):
+        (k1, b1, k2, b2, w2, c2,
+         w1a, w3a, ca, w1b, w3b, cb) = wrefs[12 * u:12 * (u + 1)]
+        # out-of-image rows act as the reference's zero padding at EVERY
+        # unit (they hold silu(bias) ≠ 0 after the previous unit's pw)
+        x1 = jnp.where(oob, jnp.zeros_like(x1), x1)
+        x2 = jnp.where(oob, jnp.zeros_like(x2), x2)
+        u1 = _dwfull9(x1, k1[:], b1[:], w)
+        t2 = _silu(_mm_rows(x2.astype(mm_dtype), w2[:], c2[:]))
+        t2 = jnp.where(oob, jnp.zeros_like(t2), t2)   # ref pads AFTER this pw
+        u2 = _dwfull9(t2, k2[:], b2[:], w)
+        u1m = u1.astype(mm_dtype)
+        u2m = u2.astype(mm_dtype)
+        x1 = _silu(_mm_rows(u1m, w1a[:]) + _mm_rows(u2m, w3a[:]) + ca[:])
+        x2 = _silu(_mm_rows(u1m, w1b[:]) + _mm_rows(u2m, w3b[:]) + cb[:])
+
+    out1[0] = x1[k:k + th].astype(out1.dtype)
+    out2[0] = x2[k:k + th].astype(out2.dtype)
+
+
+def _edge_rows_k(x: jax.Array, th: int, k: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """k-row halos per tile: top_j = rows [j·th−k, j·th), bot_j = rows
+    [(j+1)·th, (j+1)·th+k), zero-padded at the image edges; [Bp, nj, k, W, L]."""
+    bp, h, w, l = x.shape
+    nj = h // th
+    z = jnp.zeros((bp, k, w, l), x.dtype)
+    xt = jnp.concatenate([z, x], axis=1)
+    top = jnp.stack([xt[:, i:i + nj * th:th] for i in range(k)], axis=2)
+    xb = jnp.concatenate([x, z], axis=1)
+    bot = jnp.stack([xb[:, th + i::th][:, :nj] for i in range(k)], axis=2)
+    return top, bot
+
+
+def _pick_tile_chain(h: int, w: int, l: int, k: int):
+    """Largest row tile with ~<=3 MB per f32 working array; None = no fit
+    (caller falls back to the per-unit chain)."""
+    budget = 4.0 * 2 ** 20 / 4
+    for t in sorted((d for d in range(1, min(h, 256) + 1) if h % d == 0),
+                    reverse=True):
+        if t < k:
+            continue
+        if (t + 2 * k + 2) * (w + 2) * l <= budget:
+            return t
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
+                      interpret: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Run a whole chain of packed bottleneck units in ONE pallas launch.
+
+    ``x1``/``x2`` [Bp, H, W, L] packed branch halves; ``packed_units`` a
+    list/tuple of :func:`fold_bottleneck_params_packed` dicts. Activations
+    stay in VMEM across units (overlap recompute, k = len(units) halo rows).
+    """
+    packed_units = list(packed_units)
+    n = len(packed_units)
+    bp, h, w, l_in = x1.shape
+    l_out = packed_units[-1]["w1a"].shape[-1]
+    l_max = max([l_in] + [u["w1a"].shape[-1] for u in packed_units])
+    th = _pick_tile_chain(h, w, l_max, n)
+    if th is None:
+        raise ValueError("no VMEM-feasible row tile for this chain")
+    nj = h // th
+    x1t, x1b = _edge_rows_k(x1, th, n)
+    x2t, x2b = _edge_rows_k(x2, th, n)
+    core = lambda l: pl.BlockSpec((1, th, w, l), lambda i, j: (i, j, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, 1, n, w, l_in), lambda i, j: (i, j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    weights = [u[key] for u in packed_units for key in _CHAIN_KEYS]
+    kern = functools.partial(_packed_chain_kernel, th=th, w=w, nj=nj, k=n,
+                             n_units=n, mm_dtype=packed_units[0]["w2"].dtype)
+    y1, y2 = pl.pallas_call(
+        kern,
+        grid=(bp, nj),
+        out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_out), x1.dtype)] * 2,
+        in_specs=[core(l_in), halo, halo, core(l_in), halo, halo]
+        + [wspec(a) for a in weights],
+        out_specs=[core(l_out), core(l_out)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x1, x1t, x1b, x2, x2t, x2b, *weights)
+    return y1, y2
+
+
+def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
+                                  interpret: bool = False) -> jax.Array:
+    """:func:`packed_bottleneck_chain` fused into a single kernel launch.
+
+    Falls back to the per-unit packed chain when the whole chain does not fit
+    a VMEM row tile (huge W×L) or the chain is longer than the tile rows."""
+    ch = x.shape[-1] // 2
+    if g is None:
+        g, c = 128, ch
+        for u in units:
+            co2 = u["w1"].shape[-1]
+            g = min(g, pick_group(x.shape[0], c, co2))
+            c = co2
+    widths = [g * ch] + [g * u["w1"].shape[-1] for u in units]
+    if _pick_tile_chain(x.shape[1], x.shape[2], max(widths),
+                        len(units)) is None:
+        return packed_bottleneck_chain(x, units, g=g, interpret=interpret)
+    packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
+        u, g, dtype=x.dtype) for u in units)
+    x1 = pack_images(x[..., :ch], g)
+    x2 = pack_images(x[..., ch:], g)
+    y1, y2 = fused_chain_whole(x1, x2, packed, interpret=interpret)
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
 

@@ -225,8 +225,8 @@ class GaussianDiffusion3DWorker(BaseWorker):
                 mode = str(fused)
                 process.model_fn = lambda x, c, t: apply_folded(
                     folded, x, t,
-                    use_pallas=mode if mode in ("pallas", "packed",
-                                                "packed_interpret") else False,
+                    use_pallas=mode if mode in ("pallas", "packed", "packed_interpret",
+                                                "chain", "chain_interpret") else False,
                     dtype=unet.dtype).astype(x.dtype)
             else:
                 model_fn, _ = bind(params, stats, False)
