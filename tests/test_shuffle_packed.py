@@ -217,3 +217,91 @@ def test_full_unet_chain_inference():
     out = apply_folded(folded, x, t, use_pallas="chain_interpret",
                        dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_whole_chain_kernel_time_injection():
+    """chain4 -> TimeMLP silu(x+h) -> chain1 fused into ONE kernel launch
+    == the flax units with the XLA injection between them."""
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_bottleneck_chain_whole)
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    cur, units = x, []
+    for i in range(5):
+        if i == 4:  # the injection point: silu(cur + h)
+            h = 0.3 * jax.random.normal(jax.random.fold_in(rng, 99),
+                                        (4, cur.shape[-1]), jnp.float32)
+            cur = jax.nn.silu(cur + h[:, None, None, :])
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, 16)
+        units.append(folded)
+        cur = ref
+    out = packed_bottleneck_chain_whole(x, units, g=2, t_vec=h, inj_after=4,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=2e-4)
+
+
+def test_whole_chain_time_injection_fallback():
+    """The no-VMEM-tile fallback path applies the same injection in XLA."""
+    from vq_vae_gan_diffusion_tpu.ops import shuffle_pallas as sp
+
+    rng = jax.random.PRNGKey(8)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    cur, units = x, []
+    for i in range(3):
+        if i == 2:
+            h = 0.3 * jax.random.normal(jax.random.fold_in(rng, 98),
+                                        (4, cur.shape[-1]), jnp.float32)
+            cur = jax.nn.silu(cur + h[:, None, None, :])
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, 16)
+        units.append(folded)
+        cur = ref
+    orig = sp._pick_tile_chain
+    sp._pick_tile_chain = lambda *a, **k: None
+    try:
+        out = sp.packed_bottleneck_chain_whole(x, units, g=2, t_vec=h,
+                                               inj_after=2, interpret=True)
+    finally:
+        sp._pick_tile_chain = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=2e-4)
+
+
+def test_packed_downsample_time_prologue():
+    """TimeMLP silu(x+h) fused as the downsample kernel's prologue ==
+    applying it in XLA then the flax ResidualDownsample."""
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import (
+        ResidualDownsample)
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import packed_downsample
+
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    h = 0.3 * jax.random.normal(jax.random.fold_in(rng, 1),
+                                (4, 16), jnp.float32)
+    xt = jax.nn.silu(x + h[:, None, None, :])
+    mod = ResidualDownsample(32)
+    variables = _nontrivial(mod.init(rng, xt, train=False))
+    ref = mod.apply(variables, xt, train=False)
+    out = packed_downsample(x, variables["params"],
+                            variables["batch_stats"], t_vec=h,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_full_unet_chain_inference_odd_grid():
+    """Odd stage grids (mnist-style 14 -> 7) push the downsample onto the
+    XLA fallback while the chains stay fused — parity must hold there too."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    rng = jax.random.PRNGKey(11)
+    unet = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                       out_channels=1, base_dim=16, dim_mults=(1, 2))
+    x = jax.random.normal(rng, (4, 14, 12, 1), jnp.float32)
+    t = jnp.array([3, 7, 1, 9], jnp.int32)
+    variables = _nontrivial(unet.init(rng, x, None, t, train=False))
+    ref = unet.apply(variables, x, None, t, train=False)
+    folded = fold_unet(variables, dtype=jnp.float32)
+    out = apply_folded(folded, x, t, use_pallas="chain_interpret",
+                       dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

@@ -45,13 +45,17 @@ def _resolve_mode(use_pallas):
     return use_pallas
 
 
-def _chain(x, units, use_pallas):
+def _chain(x, units, use_pallas, t_vec=None, inj_after=None):
     """Run consecutive bottlenecks; packed modes fuse per unit, chain modes
-    fuse the whole stage into one kernel launch (activations stay in VMEM)."""
+    fuse the whole stage into one kernel launch (activations stay in VMEM).
+    ``t_vec``/``inj_after`` (chain modes only): fuse the TimeMLP
+    x = silu(x + h) between units inj_after-1 and inj_after in-kernel."""
     use_pallas = _resolve_mode(use_pallas)
     if use_pallas in ("chain", "chain_interpret"):
         return packed_bottleneck_chain_whole(
-            x, units, interpret=use_pallas == "chain_interpret")
+            x, units, t_vec=t_vec, inj_after=inj_after,
+            interpret=use_pallas == "chain_interpret")
+    assert t_vec is None  # fused injection is a chain-mode-only contract
     if use_pallas in ("packed", "packed_interpret"):
         return packed_bottleneck_chain(
             x, units, interpret=use_pallas == "packed_interpret")
@@ -89,10 +93,11 @@ def _conv(x, k, b, stride=1, pad=0):
     return y + b
 
 
-def _downsample(x, p, stats, dtype, use_pallas=False):
+def _downsample(x, p, stats, dtype, use_pallas=False, t_vec=None):
     """ResidualDownsample in jnp with folded BNs (reference unet3d.py:53-72);
     packed modes route through the stride-2 Pallas kernel when H and W are
-    even (odd grids — e.g. mnist 7² — keep the XLA path)."""
+    even (odd grids — e.g. mnist 7² — keep the XLA path). ``t_vec``: TimeMLP
+    vector fused as a silu(x + h) prologue (in-kernel on the packed path)."""
     from ..models.unet_shuffle import channel_shuffle
 
     use_pallas = _resolve_mode(use_pallas)
@@ -100,8 +105,10 @@ def _downsample(x, p, stats, dtype, use_pallas=False):
                        "chain", "chain_interpret")
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         from ..ops.shuffle_pallas import packed_downsample
-        return packed_downsample(x, p, stats,
+        return packed_downsample(x, p, stats, t_vec=t_vec,
                                  interpret=use_pallas.endswith("interpret"))
+    if t_vec is not None:
+        x = _silu(x + t_vec[:, None, None, :].astype(x.dtype))
 
     k, b = _fold_dw(p["b1_dw"], p["b1_bn"], stats["b1_bn"], dtype)
     b1 = _conv(x, k, b, stride=2, pad=1)
@@ -117,9 +124,15 @@ def _downsample(x, p, stats, dtype, use_pallas=False):
     return channel_shuffle(jnp.concatenate([b1, b2], axis=-1))
 
 
+def _time_h(t_emb, p, dtype):
+    """The per-(image, channel) TimeMLP vector h; the block applies
+    silu(x + h) (reference unet3d.py:74-88)."""
+    h = t_emb @ p["fc1"]["kernel"].astype(dtype) + p["fc1"]["bias"].astype(dtype)
+    return _silu(h) @ p["fc2"]["kernel"].astype(dtype) + p["fc2"]["bias"].astype(dtype)
+
+
 def _time_mlp(x, t_emb, p):
-    h = t_emb @ p["fc1"]["kernel"].astype(x.dtype) + p["fc1"]["bias"].astype(x.dtype)
-    h = _silu(h) @ p["fc2"]["kernel"].astype(x.dtype) + p["fc2"]["bias"].astype(x.dtype)
+    h = _time_h(t_emb, p, x.dtype)
     return _silu(x + h[:, None, None, :].astype(x.dtype))
 
 
@@ -182,15 +195,22 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
     if t is not None:
         t_emb = params["time_embedding"]["embedding"][t].astype(dtype)
 
+    mode = _resolve_mode(use_pallas)
+    chain_fused = mode in ("chain", "chain_interpret")
+
     shortcuts = []
     for blk in folded["enc"]:
         n = blk["name"]
         x = _chain(x, blk["units"][:4], use_pallas)
         shortcut = x
+        h_vec = None
         if t_emb is not None:
-            x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
+            h_vec = _time_h(t_emb, params[n]["time_mlp"], dtype)
+            if not chain_fused:
+                x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
+                h_vec = None
         x = _downsample(x, params[n]["down"], stats[n]["down"], dtype,
-                        use_pallas)
+                        use_pallas, t_vec=h_vec)
         shortcuts.append(shortcut)
 
     x = _chain(x, folded["mid"], use_pallas)
@@ -201,10 +221,15 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, sc.shape[1], sc.shape[2], c), "bilinear")
         x = jnp.concatenate([x, sc], axis=-1).astype(dtype)
-        x = _chain(x, blk["units"][:4], use_pallas)
-        if t_emb is not None:
-            x = _time_mlp(x, t_emb, params[n]["time_mlp"])
-        x = _chain(x, blk["units"][4:], use_pallas)
+        if chain_fused and t_emb is not None:
+            # whole decoder block (chain4 → TimeMLP → chain1) in ONE launch
+            h_vec = _time_h(t_emb, params[n]["time_mlp"], dtype)
+            x = _chain(x, blk["units"], use_pallas, t_vec=h_vec, inj_after=4)
+        else:
+            x = _chain(x, blk["units"][:4], use_pallas)
+            if t_emb is not None:
+                x = _time_mlp(x, t_emb, params[n]["time_mlp"])
+            x = _chain(x, blk["units"][4:], use_pallas)
 
     fk = params["final_conv"]["kernel"].astype(dtype)
     fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)

@@ -574,9 +574,16 @@ def _dw2_9(xp, k, b, tho, wo):
     return acc + b
 
 
-def _packed_down_kernel(xc, xt, xb, k1, b1, k2, b2, w2, c2, w1a, w3a, ca,
-                        w1b, w3b, cb, out1, out2,
-                        *, tho: int, w: int, nj: int, mm_dtype):
+def _packed_down_kernel(*refs, tho: int, w: int, nj: int, mm_dtype,
+                        inject: bool = False):
+    xc, xt, xb = refs[:3]
+    base = 3
+    tv = None
+    if inject:
+        tv = refs[base]
+        base += 1
+    (k1, b1, k2, b2, w2, c2, w1a, w3a, ca, w1b, w3b, cb) = refs[base:base + 12]
+    out1, out2 = refs[base + 12:]
     j = pl.program_id(1)
     j_first, j_last = j == 0, j == nj - 1
     l_in = xc.shape[-1]
@@ -586,6 +593,14 @@ def _packed_down_kernel(xc, xt, xb, k1, b1, k2, b2, w2, c2, w1a, w3a, ca,
 
     x = jnp.concatenate([xt[0, 0], xc[0], xb[0, 0]],
                         axis=0).astype(jnp.float32)       # [th_in+2, W, L]
+    if inject:
+        # fused TimeMLP prologue: x = silu(x + h); the edge-halo zero rows
+        # (the reference's zero padding, applied AFTER the TimeMLP) must
+        # stay zero, so re-zero them
+        x = _silu(x + tv[0].astype(jnp.float32))
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (th_in + 2, 1, 1), 0)
+        edge = (j_first & (row0 == 0)) | (j_last & (row0 == th_in + 1))
+        x = jnp.where(edge, jnp.zeros_like(x), x)
     zc = jnp.zeros((th_in + 2, 1, l_in), jnp.float32)
     xp = jnp.concatenate([zc, x, zc], axis=1)             # [th_in+2, W+2, L]
 
@@ -613,13 +628,15 @@ def _packed_down_kernel(xc, xt, xb, k1, b1, k2, b2, w2, c2, w1a, w3a, ca,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_downsample_packed(x: jax.Array, params: Dict[str, jax.Array], *,
+                            tvec: jax.Array = None,
                             interpret: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
     """Whole ResidualDownsample on a batch-packed input.
 
     ``x`` [Bp, H, W, L=G*C] (full channels — the downsample does not split);
     ``params`` from fold_downsample_params -> fold_bottleneck_params_packed.
-    Returns the two SHUFFLED output halves [Bp, H/2, W/2, G*co2].
+    ``tvec``: optional packed [Bp, 1, L] TimeMLP vector fused as a
+    silu(x + h) prologue. Returns the SHUFFLED halves [Bp, H/2, W/2, G*co2].
     """
     bp, h, w, l_in = x.shape
     if h % 2 or w % 2:
@@ -637,14 +654,20 @@ def fused_downsample_packed(x: jax.Array, params: Dict[str, jax.Array], *,
     wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     p = params
+    extra_in, extra_specs = [], []
+    if tvec is not None:
+        extra_in = [tvec]
+        extra_specs = [pl.BlockSpec((1, 1, tvec.shape[-1]),
+                                    lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]
     kern = functools.partial(_packed_down_kernel, tho=tho, w=w, nj=nj,
-                             mm_dtype=p["w2"].dtype)
+                             mm_dtype=p["w2"].dtype, inject=tvec is not None)
     y1, y2 = pl.pallas_call(
         kern,
         grid=(bp, nj),
         out_shape=[jax.ShapeDtypeStruct((bp, h // 2, w // 2, l_out),
                                         x.dtype)] * 2,
-        in_specs=[core, halo, halo,
+        in_specs=[core, halo, halo] + extra_specs + [
                   wspec(p["k1"]), wspec(p["b1"]), wspec(p["k2"]),
                   wspec(p["b2"]), wspec(p["w2"]), wspec(p["c2"]),
                   wspec(p["w1a"]), wspec(p["w3a"]), wspec(p["ca"]),
@@ -653,22 +676,32 @@ def fused_downsample_packed(x: jax.Array, params: Dict[str, jax.Array], *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, xt, xb, p["k1"], p["b1"], p["k2"], p["b2"], p["w2"], p["c2"],
-      p["w1a"], p["w3a"], p["ca"], p["w1b"], p["w3b"], p["cb"])
+    )(x, xt, xb, *extra_in, p["k1"], p["b1"], p["k2"], p["b2"], p["w2"],
+      p["c2"], p["w1a"], p["w3a"], p["ca"], p["w1b"], p["w3b"], p["cb"])
     return y1, y2
 
 
 def packed_downsample(x: jax.Array, raw_params: Dict[str, Any],
                       raw_stats: Dict[str, Any], *, g: int = None,
+                      t_vec: jax.Array = None,
                       interpret: bool = False) -> jax.Array:
-    """NHWC in -> NHWC out ResidualDownsample through the packed kernel."""
+    """NHWC in -> NHWC out ResidualDownsample through the packed kernel.
+
+    ``t_vec``: optional [B, C] TimeMLP vector fused as a silu(x + h)
+    prologue (the encoder block's TimeMLP → downsample without the
+    intermediate HBM round trip)."""
     folded = fold_downsample_params(raw_params, raw_stats)
     c = x.shape[-1]
     co2 = folded["w1"].shape[-1]
     if g is None:
         g = pick_group(x.shape[0], c, co2)
     pp = fold_bottleneck_params_packed(folded, g, dtype=x.dtype)
-    y1, y2 = fused_downsample_packed(pack_images(x, g), pp,
+    tvec = None
+    if t_vec is not None:
+        bp = x.shape[0] // g
+        tvec = pack_images(t_vec.reshape(-1, 1, 1, c), g).reshape(bp, 1,
+                                                                  g * c)
+    y1, y2 = fused_downsample_packed(pack_images(x, g), pp, tvec=tvec,
                                      interpret=interpret)
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
@@ -719,10 +752,15 @@ _CHAIN_KEYS = ("k1", "b1", "k2", "b2", "w2", "c2",
 
 
 def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
-                         n_units: int, mm_dtype):
+                         n_units: int, mm_dtype, inj_idx: int = -1):
     x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
-    wrefs = refs[6:6 + 12 * n_units]
-    out1, out2 = refs[6 + 12 * n_units:]
+    base = 6
+    tv1 = tv2 = None
+    if inj_idx >= 0:
+        tv1, tv2 = refs[base:base + 2]
+        base += 2
+    wrefs = refs[base:base + 12 * n_units]
+    out1, out2 = refs[base + 12 * n_units:]
     j = pl.program_id(1)
     j_first, j_last = j == 0, j == nj - 1
     t_rows = th + 2 * k
@@ -739,6 +777,10 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
     for u in range(n_units):
         (k1, b1, k2, b2, w2, c2,
          w1a, w3a, ca, w1b, w3b, cb) = wrefs[12 * u:12 * (u + 1)]
+        if u == inj_idx:
+            # fused TimeMLP injection: x = silu(x + h), h per (image, chan)
+            x1 = _silu(x1 + tv1[0].astype(jnp.float32))
+            x2 = _silu(x2 + tv2[0].astype(jnp.float32))
         # out-of-image rows act as the reference's zero padding at EVERY
         # unit (they hold silu(bias) ≠ 0 after the previous unit's pw)
         x1 = jnp.where(oob, jnp.zeros_like(x1), x1)
@@ -783,8 +825,9 @@ def _pick_tile_chain(h: int, w: int, l: int, k: int):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "inj_idx"))
 def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
+                      tvecs=None, inj_idx: int = -1,
                       interpret: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
     """Run a whole chain of packed bottleneck units in ONE pallas launch.
@@ -792,6 +835,10 @@ def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
     ``x1``/``x2`` [Bp, H, W, L] packed branch halves; ``packed_units`` a
     list/tuple of :func:`fold_bottleneck_params_packed` dicts. Activations
     stay in VMEM across units (overlap recompute, k = len(units) halo rows).
+    ``tvecs``/``inj_idx``: optional fused TimeMLP injection — a pair of
+    packed [Bp, 1, L] per-(image, channel) vectors applied as
+    x = silu(x + h) immediately before unit ``inj_idx`` (the reference's
+    additive TimeMLP between stage units, unet3d.py:74-88).
     """
     packed_units = list(packed_units)
     n = len(packed_units)
@@ -810,29 +857,41 @@ def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
                         memory_space=pltpu.VMEM)
     wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
+    extra_in, extra_specs = [], []
+    if inj_idx >= 0:
+        tv1, tv2 = tvecs
+        tvspec = pl.BlockSpec((1, 1, tv1.shape[-1]), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        extra_in, extra_specs = [tv1, tv2], [tvspec, tvspec]
     weights = [u[key] for u in packed_units for key in _CHAIN_KEYS]
     kern = functools.partial(_packed_chain_kernel, th=th, w=w, nj=nj, k=n,
-                             n_units=n, mm_dtype=packed_units[0]["w2"].dtype)
+                             n_units=n, mm_dtype=packed_units[0]["w2"].dtype,
+                             inj_idx=inj_idx)
     y1, y2 = pl.pallas_call(
         kern,
         grid=(bp, nj),
         out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_out), x1.dtype)] * 2,
         in_specs=[core(l_in), halo, halo, core(l_in), halo, halo]
-        + [wspec(a) for a in weights],
+        + extra_specs + [wspec(a) for a in weights],
         out_specs=[core(l_out), core(l_out)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x1, x1t, x1b, x2, x2t, x2b, *weights)
+    )(x1, x1t, x1b, x2, x2t, x2b, *extra_in, *weights)
     return y1, y2
 
 
 def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
+                                  t_vec: jax.Array = None,
+                                  inj_after: int = None,
                                   interpret: bool = False) -> jax.Array:
     """:func:`packed_bottleneck_chain` fused into a single kernel launch.
 
-    Falls back to the per-unit packed chain when the whole chain does not fit
-    a VMEM row tile (huge W×L) or the chain is longer than the tile rows."""
+    ``t_vec``/``inj_after``: optional [B, C] TimeMLP vector applied as
+    x = silu(x + h) between units ``inj_after - 1`` and ``inj_after``
+    (fused in-kernel — the decoder block's chain4 → TimeMLP → chain1
+    becomes ONE launch). Falls back to the per-unit packed chain when the
+    whole chain does not fit a VMEM row tile (huge W×L)."""
     ch = x.shape[-1] // 2
     if g is None:
         g, c = 128, ch
@@ -840,15 +899,30 @@ def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
             co2 = u["w1"].shape[-1]
             g = min(g, pick_group(x.shape[0], c, co2))
             c = co2
+    inj_idx = -1 if t_vec is None else int(inj_after)
     widths = [g * ch] + [g * u["w1"].shape[-1] for u in units]
     if _pick_tile_chain(x.shape[1], x.shape[2], max(widths),
                         len(units)) is None:
-        return packed_bottleneck_chain(x, units, g=g, interpret=interpret)
+        if t_vec is None:
+            return packed_bottleneck_chain(x, units, g=g, interpret=interpret)
+        y = packed_bottleneck_chain(x, units[:inj_idx], g=g,
+                                    interpret=interpret)
+        y = _silu(y + t_vec[:, None, None, :].astype(y.dtype))
+        return packed_bottleneck_chain(y, units[inj_idx:], g=g,
+                                       interpret=interpret)
     packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
         u, g, dtype=x.dtype) for u in units)
     x1 = pack_images(x[..., :ch], g)
     x2 = pack_images(x[..., ch:], g)
-    y1, y2 = fused_chain_whole(x1, x2, packed, interpret=interpret)
+    tvecs = None
+    if inj_idx >= 0:
+        ci = t_vec.shape[-1] // 2
+        bp = x.shape[0] // g
+        tvecs = tuple(
+            pack_images(v.reshape(-1, 1, 1, ci), g).reshape(bp, 1, g * ci)
+            for v in (t_vec[:, :ci], t_vec[:, ci:]))
+    y1, y2 = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
+                               interpret=interpret)
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
 
