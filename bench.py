@@ -49,11 +49,11 @@ def build():
     return worker, state, imgs, rng
 
 
-def _wait_for_healthy_device(max_wait_s: float = 1500.0) -> float:
-    """The axon tunnel occasionally degrades for ~20-30 min (throughput
-    drops ~50x; it recovers on its own). Probe with a small matmul chain and
-    wait it out so the recorded benchmark measures the chip, not the wedge.
-    Returns the last probed TFLOP/s."""
+def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:
+    """The axon tunnel occasionally degrades for ~20-30 min — observed up to
+    ~90 — (throughput drops ~50x; it recovers on its own). Probe with a small
+    matmul chain and wait it out so the recorded benchmark measures the chip,
+    not the wedge. Returns the last probed TFLOP/s."""
     import numpy as np
     import jax
     import jax.numpy as jnp
