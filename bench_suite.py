@@ -172,6 +172,32 @@ def main() -> int:
     print("discrete", results["vq_official_discrete_sampling_b16"],
           flush=True)
 
+    # 3c: continuous latent diffusion (Conv1d U-Net, DDIM) ---------------------
+    # Reference GaussianDiffusion2D.sample (diffusion_gaussian2d.py:522-526,
+    # always-DDIM): sampling_timesteps-step reverse loop over the [B, D, N]
+    # lookup-table embedding of the token sequence.
+    cfg7 = load_config("configs/training_config_mnist.yml")
+    cfg7 = cfg7.replace_path("architecture.model_name", "vqdiffusion")
+    cfg7 = cfg7.replace_path("architecture.vqdiffusion.diffusion_type",
+                             "gaussiandiffusion2d")
+    comp2 = VQDiffusionComposite(cfg7, dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        # distribute_dim=-1 lookup_table: channels-last ch=N, length=D
+        # (train/vq_diffusion_worker.py init_state's 1d branch)
+        uvars2 = comp2.unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, comp2.gaussian_dim, comp2.seq_len)), None,
+            jnp.zeros((1,), jnp.int32))
+    uvars2 = jax.device_put(uvars2, jax.devices()[0])
+    Tg = comp2.prior.cfg.sampling_timesteps
+    sample_g2 = jax.jit(lambda rng: comp2.sample(
+        uvars2["params"], uvars2.get("batch_stats", {}), rng, 16))
+    dt = timeit(sample_g2, jax.random.PRNGKey(0), iters=2, warmup=1)
+    results["gaussian2d_ddim_sampling_b16"] = {
+        "seconds_per_chain": round(dt, 2),
+        "denoise_steps_per_sec": round(Tg / dt, 1)}
+    print("gaussian2d", results["gaussian2d_ddim_sampling_b16"], flush=True)
+
     # 4: KV-cached AR sampling -------------------------------------------------
     from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens
 

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     parser.add_argument("--n-samples", type=int, default=16)
     parser.add_argument("--ckpt", type=str, default=None,
                         help="checkpoint dir override (else architecture.<model>.resume_path)")
+    parser.add_argument("--fused-sampler", type=str, default=None,
+                        choices=["on", "off", "pallas", "packed", "chain"],
+                        help="override trainer.<model>.fused_sampler for the "
+                             "ShuffleNet diffusion samplers")
     args = parser.parse_args(argv)
 
     from vq_vae_gan_diffusion_tpu.config import load_config, validate
@@ -46,6 +50,18 @@ def main(argv=None) -> int:
     validate(config)
     model_name = config.architecture.model_name
     dataset_name = config.dataset.dataset_name
+
+    if args.fused_sampler is not None:  # mirrors train.py's override
+        val = {"on": True, "off": False}.get(args.fused_sampler,
+                                             args.fused_sampler)
+        for fam in ("gaussiandiffusion3d", "vqdiffusion"):
+            if fam in config.trainer:
+                config = config.replace_path(
+                    f"trainer.{fam}.fused_sampler", val)
+        if "vqdiffusion" in config.architecture:
+            config = config.replace_path(
+                "architecture.vqdiffusion.fused_sampler", val)
+
     run_dir = create_run_dir(str(config.trainer.log_dir), dataset_name,
                              f"{model_name}_generate", args.config)
     logger = setup_logging(run_dir)

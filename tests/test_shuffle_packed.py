@@ -305,3 +305,59 @@ def test_full_unet_chain_inference_odd_grid():
     out = apply_folded(folded, x, t, use_pallas="chain_interpret",
                        dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_whole_chain_kernel_fused_upsample():
+    """In-kernel 2x bilinear upsample of the x1 branch (+ TimeMLP
+    injection) == XLA resize + concat + flax chain with the injection."""
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_bottleneck_chain_whole_up)
+
+    rng = jax.random.PRNGKey(12)
+    x_small = jax.random.normal(rng, (4, 8, 6, 8), jnp.float32)
+    skip = jax.random.normal(jax.random.fold_in(rng, 1), (4, 16, 12, 8),
+                             jnp.float32)
+    up = jax.image.resize(x_small, (4, 16, 12, 8), method="bilinear")
+    cur = jnp.concatenate([up, skip], axis=-1)
+    units = []
+    for i in range(3):
+        if i == 2:
+            h = 0.3 * jax.random.normal(jax.random.fold_in(rng, 97),
+                                        (4, cur.shape[-1]), jnp.float32)
+            cur = jax.nn.silu(cur + h[:, None, None, :])
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, 16)
+        units.append(folded)
+        cur = ref
+    out = packed_bottleneck_chain_whole_up(x_small, skip, units, g=2,
+                                           t_vec=h, inj_after=2,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=2e-4)
+
+
+def test_whole_chain_fused_upsample_multi_tile():
+    """Row tiles smaller than the image: the half-res halo fetch must
+    stitch tile borders exactly (clamped edges only at the true image
+    border)."""
+    from vq_vae_gan_diffusion_tpu.ops import shuffle_pallas as sp
+
+    rng = jax.random.PRNGKey(13)
+    x_small = jax.random.normal(rng, (2, 16, 4, 8), jnp.float32)
+    skip = jax.random.normal(jax.random.fold_in(rng, 1), (2, 32, 8, 8),
+                             jnp.float32)
+    up = jax.image.resize(x_small, (2, 32, 8, 8), method="bilinear")
+    cur = jnp.concatenate([up, skip], axis=-1)
+    units = []
+    for i in range(2):
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, 16)
+        units.append(folded)
+        cur = ref
+    orig = sp._pick_tile_chain
+    # force th=8 (4 row tiles) to exercise interior halo stitching
+    sp._pick_tile_chain = lambda h, w, l, k, even=False: 8 if h == 32 else \
+        orig(h, w, l, k, even)
+    try:
+        out = sp.packed_bottleneck_chain_whole_up(x_small, skip, units, g=2,
+                                                  interpret=True)
+    finally:
+        sp._pick_tile_chain = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=2e-4)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..ops.shuffle_pallas import (bn_affine, fold_bottleneck_params,
                                   fused_bottleneck, packed_bottleneck_chain,
                                   packed_bottleneck_chain_whole,
+                                  packed_bottleneck_chain_whole_up,
                                   reference_bottleneck)
 
 
@@ -219,17 +220,23 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         n = blk["name"]
         sc = shortcuts.pop()
         b, h, w, c = x.shape
+        if chain_fused:
+            # whole decoder block (2× bilinear upsample → chain4 → TimeMLP
+            # → chain1) in ONE launch; the kernel falls back to XLA resize
+            # internally on non-2× grids
+            h_vec = (None if t_emb is None
+                     else _time_h(t_emb, params[n]["time_mlp"], dtype))
+            x = packed_bottleneck_chain_whole_up(
+                x.astype(dtype), sc.astype(dtype), blk["units"],
+                t_vec=h_vec, inj_after=None if h_vec is None else 4,
+                interpret=mode == "chain_interpret")
+            continue
         x = jax.image.resize(x, (b, sc.shape[1], sc.shape[2], c), "bilinear")
         x = jnp.concatenate([x, sc], axis=-1).astype(dtype)
-        if chain_fused and t_emb is not None:
-            # whole decoder block (chain4 → TimeMLP → chain1) in ONE launch
-            h_vec = _time_h(t_emb, params[n]["time_mlp"], dtype)
-            x = _chain(x, blk["units"], use_pallas, t_vec=h_vec, inj_after=4)
-        else:
-            x = _chain(x, blk["units"][:4], use_pallas)
-            if t_emb is not None:
-                x = _time_mlp(x, t_emb, params[n]["time_mlp"])
-            x = _chain(x, blk["units"][4:], use_pallas)
+        x = _chain(x, blk["units"][:4], use_pallas)
+        if t_emb is not None:
+            x = _time_mlp(x, t_emb, params[n]["time_mlp"])
+        x = _chain(x, blk["units"][4:], use_pallas)
 
     fk = params["final_conv"]["kernel"].astype(dtype)
     fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)

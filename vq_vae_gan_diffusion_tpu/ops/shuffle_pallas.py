@@ -751,8 +751,39 @@ _CHAIN_KEYS = ("k1", "b1", "k2", "b2", "w2", "c2",
                "w1a", "w3a", "ca", "w1b", "w3b", "cb")
 
 
+def _upsample2x_rows(xs: jax.Array, k: int, t_rows: int) -> jax.Array:
+    """2× bilinear row upsample of a small tile (jax.image.resize
+    semantics — verified tap weights (0.25, 0.75)/(0.75, 0.25), edge
+    clamp supplied by the caller's clamped halo rows).
+
+    ``xs`` [P=th/2+2ks, w, L] covers small rows [j·th/2 − ks, …); returns
+    the full-res rows [j·th − k, j·th − k + t_rows) as [t_rows, w, L]."""
+    p = xs.shape[0]
+    e = 0.25 * xs[0:p - 1] + 0.75 * xs[1:p]   # full row 2(off+q+1)
+    o = 0.75 * xs[0:p - 1] + 0.25 * xs[1:p]   # full row 2(off+q)+1
+    inter = jnp.concatenate([o[:, None], e[:, None]], axis=1).reshape(
+        2 * (p - 1), *xs.shape[1:])            # rows from 2·off + 1
+    start = 1 if k % 2 == 0 else 0             # 2ks − k − 1, ks = k//2 + 1
+    return inter[start:start + t_rows]
+
+
+def _upsample2x_cols(x: jax.Array) -> jax.Array:
+    """2× bilinear column upsample [T, w, L] → [T, 2w, L] (edge clamp).
+
+    The interleave is a lane-concat + free (W, 2L) → (2W, L) parity
+    reshape — Mosaic has no strided scatter but this layout change is a
+    no-op reshape."""
+    t, w, l = x.shape
+    xl = jnp.concatenate([x[:, :1], x[:, :w - 1]], axis=1)
+    xr = jnp.concatenate([x[:, 1:], x[:, w - 1:]], axis=1)
+    even = 0.25 * xl + 0.75 * x                # full col 2n
+    odd = 0.75 * x + 0.25 * xr                 # full col 2n+1
+    return jnp.concatenate([even, odd], axis=-1).reshape(t, 2 * w, l)
+
+
 def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
-                         n_units: int, mm_dtype, inj_idx: int = -1):
+                         n_units: int, mm_dtype, inj_idx: int = -1,
+                         upsample: bool = False):
     x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
     base = 6
     tv1 = tv2 = None
@@ -769,7 +800,11 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
         return jnp.concatenate([t[0, 0], c[0], b[0, 0]],
                                axis=0).astype(jnp.float32)
 
-    x1 = full(x1c, x1t, x1b)
+    if upsample:
+        xs = full(x1c, x1t, x1b)           # [th/2 + 2ks, w/2, L] small rows
+        x1 = _upsample2x_cols(_upsample2x_rows(xs, k, t_rows))
+    else:
+        x1 = full(x1c, x1t, x1b)
     x2 = full(x2c, x2t, x2b)
     row = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 1, 1), 0)
     oob = (j_first & (row < k)) | (j_last & (row >= th + k))
@@ -798,36 +833,45 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
     out2[0] = x2[k:k + th].astype(out2.dtype)
 
 
-def _edge_rows_k(x: jax.Array, th: int, k: int
+def _edge_rows_k(x: jax.Array, th: int, k: int, clamp: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
     """k-row halos per tile: top_j = rows [j·th−k, j·th), bot_j = rows
-    [(j+1)·th, (j+1)·th+k), zero-padded at the image edges; [Bp, nj, k, W, L]."""
+    [(j+1)·th, (j+1)·th+k) as [Bp, nj, k, W, L]; image edges are zero-padded
+    (conv padding) or edge-clamped (``clamp=True``, bilinear-resize
+    semantics)."""
     bp, h, w, l = x.shape
     nj = h // th
-    z = jnp.zeros((bp, k, w, l), x.dtype)
-    xt = jnp.concatenate([z, x], axis=1)
+    if clamp:
+        zt = jnp.repeat(x[:, :1], k, axis=1)
+        zb = jnp.repeat(x[:, h - 1:], k, axis=1)
+    else:
+        zt = zb = jnp.zeros((bp, k, w, l), x.dtype)
+    xt = jnp.concatenate([zt, x], axis=1)
     top = jnp.stack([xt[:, i:i + nj * th:th] for i in range(k)], axis=2)
-    xb = jnp.concatenate([x, z], axis=1)
+    xb = jnp.concatenate([x, zb], axis=1)
     bot = jnp.stack([xb[:, th + i::th][:, :nj] for i in range(k)], axis=2)
     return top, bot
 
 
-def _pick_tile_chain(h: int, w: int, l: int, k: int):
-    """Largest row tile with ~<=3 MB per f32 working array; None = no fit
-    (caller falls back to the per-unit chain)."""
+def _pick_tile_chain(h: int, w: int, l: int, k: int, even: bool = False):
+    """Largest row tile with ~<=4 MB per f32 working array; None = no fit
+    (caller falls back to the per-unit chain). ``even``: only even tiles
+    (the fused-upsample variant maps each tile onto th/2 half-res rows)."""
     budget = 4.0 * 2 ** 20 / 4
     for t in sorted((d for d in range(1, min(h, 256) + 1) if h % d == 0),
                     reverse=True):
-        if t < k:
+        if t < k or (even and t % 2):
             continue
         if (t + 2 * k + 2) * (w + 2) * l <= budget:
             return t
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "inj_idx"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "inj_idx", "upsample"))
 def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
                       tvecs=None, inj_idx: int = -1,
+                      upsample: bool = False,
                       interpret: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
     """Run a whole chain of packed bottleneck units in ONE pallas launch.
@@ -839,22 +883,38 @@ def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
     packed [Bp, 1, L] per-(image, channel) vectors applied as
     x = silu(x + h) immediately before unit ``inj_idx`` (the reference's
     additive TimeMLP between stage units, unet3d.py:74-88).
+    ``upsample``: ``x1`` is the HALF-resolution [Bp, H/2, W/2, L] branch —
+    the decoder's 2× bilinear upsample runs in VMEM (the up|skip concat IS
+    the branch split, reference unet3d.py:107-125), reading a quarter of
+    the bytes instead of resize(R+4W) + chain read.
     """
     packed_units = list(packed_units)
     n = len(packed_units)
-    bp, h, w, l_in = x1.shape
+    bp, h, w, l_in = x2.shape if upsample else x1.shape
     l_out = packed_units[-1]["w1a"].shape[-1]
     l_max = max([l_in] + [u["w1a"].shape[-1] for u in packed_units])
-    th = _pick_tile_chain(h, w, l_max, n)
+    th = _pick_tile_chain(h, w, l_max, n, even=upsample)
     if th is None:
         raise ValueError("no VMEM-feasible row tile for this chain")
     nj = h // th
-    x1t, x1b = _edge_rows_k(x1, th, n)
-    x2t, x2b = _edge_rows_k(x2, th, n)
+    if upsample:
+        ks = n // 2 + 1
+        x1t, x1b = _edge_rows_k(x1, th // 2, ks, clamp=True)
+        spec1 = pl.BlockSpec((1, th // 2, w // 2, l_in),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        halo1 = pl.BlockSpec((1, 1, ks, w // 2, l_in),
+                             lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        x1t, x1b = _edge_rows_k(x1, th, n)
     core = lambda l: pl.BlockSpec((1, th, w, l), lambda i, j: (i, j, 0, 0),
                                   memory_space=pltpu.VMEM)
     halo = pl.BlockSpec((1, 1, n, w, l_in), lambda i, j: (i, j, 0, 0, 0),
                         memory_space=pltpu.VMEM)
+    if not upsample:
+        spec1, halo1 = core(l_in), halo
+    x2t, x2b = _edge_rows_k(x2, th, n)
     wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     extra_in, extra_specs = [], []
@@ -866,12 +926,12 @@ def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
     weights = [u[key] for u in packed_units for key in _CHAIN_KEYS]
     kern = functools.partial(_packed_chain_kernel, th=th, w=w, nj=nj, k=n,
                              n_units=n, mm_dtype=packed_units[0]["w2"].dtype,
-                             inj_idx=inj_idx)
+                             inj_idx=inj_idx, upsample=upsample)
     y1, y2 = pl.pallas_call(
         kern,
         grid=(bp, nj),
         out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_out), x1.dtype)] * 2,
-        in_specs=[core(l_in), halo, halo, core(l_in), halo, halo]
+        in_specs=[spec1, halo1, halo1, core(l_in), halo, halo]
         + extra_specs + [wspec(a) for a in weights],
         out_specs=[core(l_out), core(l_out)],
         compiler_params=pltpu.CompilerParams(
@@ -923,6 +983,55 @@ def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
             for v in (t_vec[:, :ci], t_vec[:, ci:]))
     y1, y2 = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
                                interpret=interpret)
+    return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
+                           axis=-1)
+
+
+def packed_bottleneck_chain_whole_up(x_small: jax.Array, skip: jax.Array,
+                                     units, *, g: int = None,
+                                     t_vec: jax.Array = None,
+                                     inj_after: int = None,
+                                     interpret: bool = False) -> jax.Array:
+    """Decoder-block chain with the 2× bilinear upsample fused in-kernel.
+
+    The decoder concatenates upsample(x) with the encoder shortcut and the
+    first bottleneck splits that concat in half — and the two halves ARE
+    (upsample(x), shortcut) since both carry the same channel count
+    (reference unet3d.py:107-125). So the kernel reads the HALF-resolution
+    ``x_small`` [B, h, w, C] directly (quarter the bytes) and upsamples in
+    VMEM; ``skip`` [B, 2h, 2w, C] is the full-res branch. Non-2× grids and
+    VMEM-infeasible tiles fall back to XLA resize + the fused chain."""
+    ch = x_small.shape[-1]
+    b, hs, ws, _ = x_small.shape
+    hh, ww = skip.shape[1], skip.shape[2]
+    if g is None:
+        g, c = 128, ch
+        for u in units:
+            co2 = u["w1"].shape[-1]
+            g = min(g, pick_group(b, c, co2))
+            c = co2
+    widths = [g * ch] + [g * u["w1"].shape[-1] for u in units]
+    th = _pick_tile_chain(hh, ww, max(widths), len(units), even=True)
+    if hh != 2 * hs or ww != 2 * ws or skip.shape[-1] != ch or th is None:
+        up = jax.image.resize(x_small, (b, hh, ww, ch), method="bilinear")
+        x = jnp.concatenate([up, skip], axis=-1)
+        return packed_bottleneck_chain_whole(x, units, g=g, t_vec=t_vec,
+                                             inj_after=inj_after,
+                                             interpret=interpret)
+    inj_idx = -1 if t_vec is None else int(inj_after)
+    packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
+        u, g, dtype=skip.dtype) for u in units)
+    x1 = pack_images(x_small, g)
+    x2 = pack_images(skip, g)
+    tvecs = None
+    if inj_idx >= 0:
+        ci = t_vec.shape[-1] // 2
+        bp = b // g
+        tvecs = tuple(
+            pack_images(v.reshape(-1, 1, 1, ci), g).reshape(bp, 1, g * ci)
+            for v in (t_vec[:, :ci], t_vec[:, ci:]))
+    y1, y2 = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
+                               upsample=True, interpret=interpret)
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
 
