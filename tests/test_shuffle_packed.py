@@ -361,3 +361,52 @@ def test_whole_chain_fused_upsample_multi_tile():
     finally:
         sp._pick_tile_chain = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=2e-4)
+
+
+def test_packed_encoder_block_fused():
+    """Whole EncoderBlock (chain4 -> shortcut -> TimeMLP -> stride-2
+    downsample) in ONE launch == the flax EncoderBlock."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import _time_h
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import EncoderBlock
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_encoder_block)
+
+    rng = jax.random.PRNGKey(14)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    t_emb = jax.random.normal(jax.random.fold_in(rng, 1), (4, 32),
+                              jnp.float32)
+    mod = EncoderBlock(32)
+    variables = _nontrivial(mod.init(rng, x, t_emb, train=False))
+    ref_down, ref_sc = mod.apply(variables, x, t_emb, train=False)
+    p, s = variables["params"], variables["batch_stats"]
+    units = [fold_bottleneck_params(p[f"bn{i}"], s[f"bn{i}"])
+             for i in range(4)]
+    h = _time_h(t_emb, p["time_mlp"], jnp.float32)
+    sc, down = packed_encoder_block(x, units, p["down"], s["down"],
+                                    t_vec=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_sc),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(down), np.asarray(ref_down),
+                               atol=2e-4)
+
+
+def test_packed_encoder_block_fused_no_time():
+    """t_emb=None path (pure chain -> downsample, no injection)."""
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import EncoderBlock
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_encoder_block)
+
+    rng = jax.random.PRNGKey(15)
+    x = jax.random.normal(rng, (2, 32, 8, 8), jnp.float32)
+    mod = EncoderBlock(16)
+    variables = _nontrivial(mod.init(rng, x, None, train=False))
+    ref_down, ref_sc = mod.apply(variables, x, None, train=False)
+    p, s = variables["params"], variables["batch_stats"]
+    units = [fold_bottleneck_params(p[f"bn{i}"], s[f"bn{i}"])
+             for i in range(4)]
+    sc, down = packed_encoder_block(x, units, p["down"], s["down"],
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_sc),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(down), np.asarray(ref_down),
+                               atol=2e-4)

@@ -202,6 +202,18 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
     shortcuts = []
     for blk in folded["enc"]:
         n = blk["name"]
+        if chain_fused and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # whole encoder block (chain4 → shortcut → TimeMLP → stride-2
+            # downsample) in ONE launch
+            from ..ops.shuffle_pallas import packed_encoder_block
+            h_vec = (None if t_emb is None
+                     else _time_h(t_emb, params[n]["time_mlp"], dtype))
+            shortcut, x = packed_encoder_block(
+                x.astype(dtype), blk["units"][:4], params[n]["down"],
+                stats[n]["down"], t_vec=h_vec,
+                interpret=mode == "chain_interpret")
+            shortcuts.append(shortcut)
+            continue
         x = _chain(x, blk["units"][:4], use_pallas)
         shortcut = x
         h_vec = None

@@ -809,6 +809,15 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 1, 1), 0)
     oob = (j_first & (row < k)) | (j_last & (row >= th + k))
 
+    x1, x2 = _chain_units_body(x1, x2, wrefs, oob, n_units, mm_dtype,
+                               inj_idx, tv1, tv2, w)
+    out1[0] = x1[k:k + th].astype(out1.dtype)
+    out2[0] = x2[k:k + th].astype(out2.dtype)
+
+
+def _chain_units_body(x1, x2, wrefs, oob, n_units, mm_dtype, inj_idx,
+                      tv1, tv2, w):
+    """The shared per-unit loop of the whole-chain kernels."""
     for u in range(n_units):
         (k1, b1, k2, b2, w2, c2,
          w1a, w3a, ca, w1b, w3b, cb) = wrefs[12 * u:12 * (u + 1)]
@@ -828,9 +837,7 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
         u2m = u2.astype(mm_dtype)
         x1 = _silu(_mm_rows(u1m, w1a[:]) + _mm_rows(u2m, w3a[:]) + ca[:])
         x2 = _silu(_mm_rows(u1m, w1b[:]) + _mm_rows(u2m, w3b[:]) + cb[:])
-
-    out1[0] = x1[k:k + th].astype(out1.dtype)
-    out2[0] = x2[k:k + th].astype(out2.dtype)
+    return x1, x2
 
 
 def _edge_rows_k(x: jax.Array, th: int, k: int, clamp: bool = False
@@ -985,6 +992,260 @@ def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
                                interpret=interpret)
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Whole-EncoderBlock kernel: chain4 → shortcut → TimeMLP → stride-2 downsample
+# ---------------------------------------------------------------------------
+#
+# The encoder block previously ran as two launches (whole-chain kernel, then
+# the packed downsample) with the full-res stage tensor written, re-laid-out
+# (unpack→concat→pack, the two kernels use different group packings) and
+# re-read in between. Fused, the stage tensor leaves VMEM exactly once — as
+# the decoder shortcut the skip connection needs anyway — and the downsample
+# consumes it in-register. One group G (the chain's) serves both parts: the
+# downsample's full-C tensors split exactly into the two chain halves
+# (depthwise = per-channel; pointwise = row-split of the weight matrix), at
+# the cost of mid-tensor lanes up to 2×128 (legal, extra vregs) and G× zero
+# blocks in the block-diagonal matmuls (FLOP waste on an HBM-bound op).
+
+_DOWN_SPLIT_KEYS = ("k1a", "b1a", "k1b", "b1b", "k2", "b2", "w2a", "w2b",
+                    "c2", "w1aa", "w1ab", "w3a", "ca", "w1ba", "w1bb",
+                    "w3b", "cb")
+
+
+def fold_downsample_params_packed_split(folded: Dict[str, jax.Array], g: int,
+                                        dtype=jnp.bfloat16
+                                        ) -> Dict[str, jax.Array]:
+    """:func:`fold_downsample_params` dict → packed tensors for the
+    encoder-block kernel, every full-C input tensor split into the two
+    chain halves (stage channels [0, C/2) / [C/2, C) — exactly the packed
+    y1/y2 the chain carries)."""
+    cc = folded["k1"].shape[-1]
+    co2 = folded["w1"].shape[-1]
+    if co2 % 2:
+        raise ValueError("packed kernel needs even per-branch width")
+    half = cc // 2
+    eye = jnp.eye(g, dtype=jnp.float32)
+
+    def tile_lane(v):
+        return jnp.concatenate([v] * g, axis=-1)
+
+    def blockdiag(wm):
+        return jnp.einsum("gh,ab->gahb", eye,
+                          wm.astype(jnp.float32)).reshape(
+            g * wm.shape[0], g * wm.shape[1])
+
+    # channel-shuffle interleave of the two output pointwise convs (same
+    # scheme as fold_bottleneck_params_packed)
+    w1 = folded["w1"].astype(jnp.float32)
+    w3 = folded["w3"].astype(jnp.float32)
+    c1 = folded["c1"].reshape(-1).astype(jnp.float32)
+    c3 = folded["c3"].reshape(-1).astype(jnp.float32)
+    h2 = co2 // 2
+    w1a = jnp.zeros((cc, co2), jnp.float32).at[:, 0::2].set(w1[:, :h2])
+    w3a = jnp.zeros((w3.shape[0], co2),
+                    jnp.float32).at[:, 1::2].set(w3[:, :h2])
+    w1b = jnp.zeros((cc, co2), jnp.float32).at[:, 0::2].set(w1[:, h2:])
+    w3b = jnp.zeros((w3.shape[0], co2),
+                    jnp.float32).at[:, 1::2].set(w3[:, h2:])
+    ca = jnp.zeros((co2,), jnp.float32).at[0::2].set(
+        c1[:h2]).at[1::2].set(c3[:h2])
+    cb = jnp.zeros((co2,), jnp.float32).at[0::2].set(
+        c1[h2:]).at[1::2].set(c3[h2:])
+    out = {
+        "k1a": tile_lane(folded["k1"][..., :half]).astype(dtype),
+        "b1a": tile_lane(folded["b1"].reshape(1, -1)[:, :half]),
+        "k1b": tile_lane(folded["k1"][..., half:]).astype(dtype),
+        "b1b": tile_lane(folded["b1"].reshape(1, -1)[:, half:]),
+        "k2": tile_lane(folded["k2"]).astype(dtype),
+        "b2": tile_lane(folded["b2"].reshape(1, -1)),
+        "w2a": blockdiag(folded["w2"][:half]).astype(dtype),
+        "w2b": blockdiag(folded["w2"][half:]).astype(dtype),
+        "c2": tile_lane(folded["c2"].reshape(1, -1)),
+        "w1aa": blockdiag(w1a[:half]).astype(dtype),
+        "w1ab": blockdiag(w1a[half:]).astype(dtype),
+        "w3a": blockdiag(w3a).astype(dtype),
+        "ca": tile_lane(ca.reshape(1, -1)),
+        "w1ba": blockdiag(w1b[:half]).astype(dtype),
+        "w1bb": blockdiag(w1b[half:]).astype(dtype),
+        "w3b": blockdiag(w3b).astype(dtype),
+        "cb": tile_lane(cb.reshape(1, -1)),
+    }
+    for kk in ("b1a", "b1b", "b2", "c2", "ca", "cb"):
+        out[kk] = out[kk].astype(jnp.float32)
+    return out
+
+
+def _packed_enc_block_kernel(*refs, th: int, w: int, nj: int, n_units: int,
+                             mm_dtype, inject: bool = False):
+    k = n_units + 1
+    x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
+    base = 6
+    tv1 = tv2 = None
+    if inject:
+        tv1, tv2 = refs[base:base + 2]
+        base += 2
+    wrefs = refs[base:base + 12 * n_units]
+    base += 12 * n_units
+    (k1a, b1a, k1b, b1b, k2d, b2d, w2a, w2b, c2d,
+     w1aa, w1ab, w3a, ca, w1ba, w1bb, w3b, cb) = refs[base:base + 17]
+    s1o, s2o, d1o, d2o = refs[base + 17:]
+    j = pl.program_id(1)
+    j_first, j_last = j == 0, j == nj - 1
+    t_rows = th + 2 * k
+
+    def full(c, t, b):
+        return jnp.concatenate([t[0, 0], c[0], b[0, 0]],
+                               axis=0).astype(jnp.float32)
+
+    x1 = full(x1c, x1t, x1b)
+    x2 = full(x2c, x2t, x2b)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 1, 1), 0)
+    oob = (j_first & (row < k)) | (j_last & (row >= th + k))
+    x1, x2 = _chain_units_body(x1, x2, wrefs, oob, n_units, mm_dtype,
+                               -1, None, None, w)
+
+    # the stage output leaves VMEM exactly once: as the decoder shortcut
+    s1o[0] = x1[k:k + th].astype(s1o.dtype)
+    s2o[0] = x2[k:k + th].astype(s2o.dtype)
+
+    if inject:  # TimeMLP between shortcut and downsample (unet3d.py:139-142)
+        x1 = _silu(x1 + tv1[0].astype(jnp.float32))
+        x2 = _silu(x2 + tv2[0].astype(jnp.float32))
+    x1 = jnp.where(oob, jnp.zeros_like(x1), x1)
+    x2 = jnp.where(oob, jnp.zeros_like(x2), x2)
+
+    # stride-2 ResidualDownsample on the valid [k−1, k+th+1) window
+    tho, wo = th // 2, w // 2
+    xin1 = x1[k - 1:k + th + 1]
+    xin2 = x2[k - 1:k + th + 1]
+    zc = jnp.zeros((th + 2, 1, xin1.shape[-1]), jnp.float32)
+    u1_1 = _dw2_9(jnp.concatenate([zc, xin1, zc], axis=1),
+                  k1a[:], b1a[:], tho, wo)
+    u1_2 = _dw2_9(jnp.concatenate([zc, xin2, zc], axis=1),
+                  k1b[:], b1b[:], tho, wo)
+    t2 = _silu(_mm_rows(xin1.astype(mm_dtype), w2a[:])
+               + _mm_rows(xin2.astype(mm_dtype), w2b[:]) + c2d[:])
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    border = (j_first & (row2 == 0)) | (j_last & (row2 == th + 1))
+    t2 = jnp.where(border, jnp.zeros_like(t2), t2)
+    zc2 = jnp.zeros((th + 2, 1, t2.shape[-1]), jnp.float32)
+    u2 = _dw2_9(jnp.concatenate([zc2, t2, zc2], axis=1),
+                k2d[:], b2d[:], tho, wo)
+    u11, u12 = u1_1.astype(mm_dtype), u1_2.astype(mm_dtype)
+    u2m = u2.astype(mm_dtype)
+    y1 = _silu(_mm_rows(u11, w1aa[:]) + _mm_rows(u12, w1ab[:])
+               + _mm_rows(u2m, w3a[:]) + ca[:])
+    y2 = _silu(_mm_rows(u11, w1ba[:]) + _mm_rows(u12, w1bb[:])
+               + _mm_rows(u2m, w3b[:]) + cb[:])
+    d1o[0] = y1.astype(d1o.dtype)
+    d2o[0] = y2.astype(d2o.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "inject"))
+def fused_encoder_block(x1: jax.Array, x2: jax.Array, packed_units,
+                        down_packed, *, tvecs=None, inject: bool = False,
+                        interpret: bool = False):
+    """Whole EncoderBlock on packed halves: returns (s1, s2, d1, d2) —
+    the full-res stage/shortcut halves and the downsampled halves."""
+    packed_units = list(packed_units)
+    n = len(packed_units)
+    k = n + 1
+    bp, h, w, l_in = x1.shape
+    l_s = packed_units[-1]["w1a"].shape[-1]
+    l_d = down_packed["w1aa"].shape[-1]
+    l_max = max([l_in, l_d, down_packed["w2a"].shape[-1]]
+                + [u["w1a"].shape[-1] for u in packed_units])
+    th = _pick_tile_chain(h, w, l_max, k, even=True)
+    if th is None:
+        raise ValueError("no VMEM-feasible even row tile for this block")
+    nj = h // th
+    x1t, x1b = _edge_rows_k(x1, th, k)
+    x2t, x2b = _edge_rows_k(x2, th, k)
+    core = lambda l: pl.BlockSpec((1, th, w, l), lambda i, j: (i, j, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, 1, k, w, l_in), lambda i, j: (i, j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, th // 2, w // 2, l_d),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    extra_in, extra_specs = [], []
+    if inject:
+        tv1, tv2 = tvecs
+        tvspec = pl.BlockSpec((1, 1, tv1.shape[-1]), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        extra_in, extra_specs = [tv1, tv2], [tvspec, tvspec]
+    weights = ([u[key] for u in packed_units for key in _CHAIN_KEYS]
+               + [down_packed[key] for key in _DOWN_SPLIT_KEYS])
+    kern = functools.partial(_packed_enc_block_kernel, th=th, w=w, nj=nj,
+                             n_units=n,
+                             mm_dtype=packed_units[0]["w2"].dtype,
+                             inject=inject)
+    return pl.pallas_call(
+        kern,
+        grid=(bp, nj),
+        out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_s), x1.dtype)] * 2
+        + [jax.ShapeDtypeStruct((bp, h // 2, w // 2, l_d), x1.dtype)] * 2,
+        in_specs=[core(l_in), halo, halo, core(l_in), halo, halo]
+        + extra_specs + [wspec(a) for a in weights],
+        out_specs=[core(l_s), core(l_s), dspec, dspec],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x1, x1t, x1b, x2, x2t, x2b, *extra_in, *weights)
+
+
+def packed_encoder_block(x: jax.Array, units, down_raw: Dict[str, Any],
+                         down_stats: Dict[str, Any], *,
+                         t_vec: jax.Array = None, g: int = None,
+                         interpret: bool = False
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Whole EncoderBlock (reference unet3d.py:127-144) in ONE launch:
+    4-unit chain → shortcut emit → TimeMLP → stride-2 downsample.
+
+    Returns ``(shortcut, downsampled)`` NHWC. Requires even H/W (caller
+    guards, as for :func:`packed_downsample`); falls back to the
+    two-launch path when no even VMEM row tile fits."""
+    ch = x.shape[-1] // 2
+    b, hh, ww, _ = x.shape
+    if g is None:
+        g, c = 128, ch
+        for u in units:
+            co2 = u["w1"].shape[-1]
+            g = min(g, pick_group(b, c, co2))
+            c = co2
+    folded_d = fold_downsample_params(down_raw, down_stats)
+    widths = ([g * ch] + [g * u["w1"].shape[-1] for u in units]
+              + [g * folded_d["w2"].shape[-1], g * folded_d["w1"].shape[-1]])
+    th = _pick_tile_chain(hh, ww, max(widths), len(units) + 1, even=True)
+    if th is None:
+        sc = packed_bottleneck_chain_whole(x, units, g=g,
+                                           interpret=interpret)
+        return sc, packed_downsample(sc, down_raw, down_stats, t_vec=t_vec,
+                                     interpret=interpret)
+    packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
+        u, g, dtype=x.dtype) for u in units)
+    pd = fold_downsample_params_packed_split(folded_d, g, dtype=x.dtype)
+    x1 = pack_images(x[..., :ch], g)
+    x2 = pack_images(x[..., ch:], g)
+    tvecs = None
+    if t_vec is not None:
+        ci = t_vec.shape[-1] // 2
+        bp = b // g
+        tvecs = tuple(
+            pack_images(v.reshape(-1, 1, 1, ci), g).reshape(bp, 1, g * ci)
+            for v in (t_vec[:, :ci], t_vec[:, ci:]))
+    s1, s2, d1, d2 = fused_encoder_block(x1, x2, packed, pd, tvecs=tvecs,
+                                         inject=t_vec is not None,
+                                         interpret=interpret)
+    sc = jnp.concatenate([unpack_images(s1, g), unpack_images(s2, g)],
+                         axis=-1)
+    down = jnp.concatenate([unpack_images(d1, g), unpack_images(d2, g)],
+                           axis=-1)
+    return sc, down
 
 
 def packed_bottleneck_chain_whole_up(x_small: jax.Array, skip: jax.Array,
