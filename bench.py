@@ -49,26 +49,35 @@ def build():
     return worker, state, imgs, rng
 
 
-def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:
-    """The axon tunnel occasionally degrades for ~20-30 min — observed up to
-    ~90 — (throughput drops ~50x; it recovers on its own). Probe with a small
-    matmul chain and wait it out so the recorded benchmark measures the chip,
-    not the wedge. Returns the last probed TFLOP/s."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
+_PROBE_SRC = """
+import time
+import jax, jax.numpy as jnp, numpy as np
+a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
+g = jax.jit(lambda a: jax.lax.scan(
+    lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
+float(np.asarray(g(a)).sum())
+t0 = time.perf_counter(); float(np.asarray(g(a)).sum())
+print(137e9 * 20 / (time.perf_counter() - t0) / 1e12)
+"""
 
-    x = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
-    probe = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
+
+def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:
+    """The axon tunnel occasionally degrades for ~20-30 min — observed >2 h
+    (throughput drops ~50x; it recovers on its own). In a FULL wedge even
+    `import jax`/device init can hang, so each probe runs in a SUBPROCESS
+    with a timeout; the main process only touches the TPU after a probe
+    succeeds. Returns the last probed TFLOP/s."""
+    import subprocess
+
     deadline = time.time() + max_wait_s
     tf = 0.0
     while True:
-        float(np.asarray(probe(x)).sum())   # warm / sync
-        t0 = time.perf_counter()
-        out = probe(x)
-        float(np.asarray(out).sum())
-        tf = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
+        try:
+            out = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                                 capture_output=True, text=True, timeout=300)
+            tf = float(out.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, ValueError, IndexError):
+            tf = 0.0
         if tf > 60 or time.time() > deadline:
             return tf
         print(f"# device degraded ({tf:.0f} TFLOP/s), waiting...",
@@ -76,15 +85,37 @@ def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:
         time.sleep(60)
 
 
+_BACKEND_SRC = "import jax; print(jax.default_backend())"
+
+
 def main() -> int:
+    # Probe BEFORE importing jax in this process: in a full tunnel wedge
+    # even `import jax` (axon plugin discovery) can hang, and only a
+    # subprocess can be abandoned on timeout.
+    import subprocess
+    backend = ""
+    try:
+        backend = subprocess.run(
+            [sys.executable, "-c", _BACKEND_SRC], capture_output=True,
+            text=True, timeout=300).stdout.strip()
+    except subprocess.TimeoutExpired:
+        pass
+    if backend != "cpu":
+        tf = _wait_for_healthy_device()
+        if tf == 0.0:
+            # the tunnel never answered a single probe: importing jax here
+            # would hang the driver — report the outage instead
+            print(json.dumps({
+                "metric": "vqgan_mnist_train_images_per_sec_per_chip",
+                "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+                "error": "tpu tunnel unreachable for the whole wait window"}))
+            return 1
+
     import jax
     import jax.numpy as jnp
 
     from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-
-    if jax.default_backend() not in ("cpu",):
-        _wait_for_healthy_device()
 
     worker, state, imgs, rng = build()
     n_chips = jax.local_device_count()
