@@ -410,3 +410,27 @@ def test_packed_encoder_block_fused_no_time():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(down), np.asarray(ref_down),
                                atol=2e-4)
+
+
+def test_whole_chain_final_conv_epilogue():
+    """chain -> final 1x1 conv fused as a kernel epilogue == flax chain +
+    XLA conv (the full-width tensor never reaches HBM)."""
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_bottleneck_chain_whole)
+
+    rng = jax.random.PRNGKey(16)
+    x = jax.random.normal(rng, (4, 16, 12, 16), jnp.float32)
+    cur, units = x, []
+    for i in range(2):
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, 16)
+        units.append(folded)
+        cur = ref
+    fk = 0.2 * jax.random.normal(jax.random.fold_in(rng, 5), (1, 1, 16, 3),
+                                 jnp.float32)
+    fb = jnp.array([0.1, -0.2, 0.3], jnp.float32)
+    ref_out = jnp.einsum("bhwc,co->bhwo", cur, fk[0, 0]) + fb
+    out = packed_bottleneck_chain_whole(x, units, g=2, final_proj=(fk, fb),
+                                        interpret=True)
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4)

@@ -228,20 +228,27 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
 
     x = _chain(x, folded["mid"], use_pallas)
 
-    for blk in folded["dec"]:
+    fk = params["final_conv"]["kernel"].astype(dtype)
+    fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)
+
+    for bi, blk in enumerate(folded["dec"]):
         n = blk["name"]
         sc = shortcuts.pop()
         b, h, w, c = x.shape
+        last = bi == len(folded["dec"]) - 1
         if chain_fused:
             # whole decoder block (2× bilinear upsample → chain4 → TimeMLP
-            # → chain1) in ONE launch; the kernel falls back to XLA resize
-            # internally on non-2× grids
+            # → chain1 → [final 1×1 conv on the last block]) in ONE launch;
+            # the kernel falls back to XLA resize internally on non-2× grids
             h_vec = (None if t_emb is None
                      else _time_h(t_emb, params[n]["time_mlp"], dtype))
             x = packed_bottleneck_chain_whole_up(
                 x.astype(dtype), sc.astype(dtype), blk["units"],
                 t_vec=h_vec, inj_after=None if h_vec is None else 4,
+                final_proj=(fk, fb) if last else None,
                 interpret=mode == "chain_interpret")
+            if last:
+                return x
             continue
         x = jax.image.resize(x, (b, sc.shape[1], sc.shape[2], c), "bilinear")
         x = jnp.concatenate([x, sc], axis=-1).astype(dtype)
@@ -250,6 +257,4 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
             x = _time_mlp(x, t_emb, params[n]["time_mlp"])
         x = _chain(x, blk["units"][4:], use_pallas)
 
-    fk = params["final_conv"]["kernel"].astype(dtype)
-    fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)
     return _conv(x, fk, fb)

@@ -783,7 +783,7 @@ def _upsample2x_cols(x: jax.Array) -> jax.Array:
 
 def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
                          n_units: int, mm_dtype, inj_idx: int = -1,
-                         upsample: bool = False):
+                         upsample: bool = False, final: bool = False):
     x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
     base = 6
     tv1 = tv2 = None
@@ -791,7 +791,12 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
         tv1, tv2 = refs[base:base + 2]
         base += 2
     wrefs = refs[base:base + 12 * n_units]
-    out1, out2 = refs[base + 12 * n_units:]
+    base += 12 * n_units
+    if final:
+        wfa, wfb, bf = refs[base:base + 3]
+        out_f, = refs[base + 3:]
+    else:
+        out1, out2 = refs[base:]
     j = pl.program_id(1)
     j_first, j_last = j == 0, j == nj - 1
     t_rows = th + 2 * k
@@ -811,8 +816,16 @@ def _packed_chain_kernel(*refs, th: int, w: int, nj: int, k: int,
 
     x1, x2 = _chain_units_body(x1, x2, wrefs, oob, n_units, mm_dtype,
                                inj_idx, tv1, tv2, w)
-    out1[0] = x1[k:k + th].astype(out1.dtype)
-    out2[0] = x2[k:k + th].astype(out2.dtype)
+    if final:
+        # fused final 1×1 conv (no activation, reference unet3d.py:176):
+        # the full-width stage tensor never reaches HBM — only the
+        # few-channel projection does
+        y = (_mm_rows(x1.astype(mm_dtype), wfa[:])
+             + _mm_rows(x2.astype(mm_dtype), wfb[:]) + bf[:])
+        out_f[0] = y[k:k + th].astype(out_f.dtype)
+    else:
+        out1[0] = x1[k:k + th].astype(out1.dtype)
+        out2[0] = x2[k:k + th].astype(out2.dtype)
 
 
 def _chain_units_body(x1, x2, wrefs, oob, n_units, mm_dtype, inj_idx,
@@ -878,7 +891,7 @@ def _pick_tile_chain(h: int, w: int, l: int, k: int, even: bool = False):
                    static_argnames=("interpret", "inj_idx", "upsample"))
 def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
                       tvecs=None, inj_idx: int = -1,
-                      upsample: bool = False,
+                      upsample: bool = False, final_packed=None,
                       interpret: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
     """Run a whole chain of packed bottleneck units in ONE pallas launch.
@@ -931,26 +944,64 @@ def fused_chain_whole(x1: jax.Array, x2: jax.Array, packed_units, *,
                               memory_space=pltpu.VMEM)
         extra_in, extra_specs = [tv1, tv2], [tvspec, tvspec]
     weights = [u[key] for u in packed_units for key in _CHAIN_KEYS]
+    final = final_packed is not None
+    if final:
+        weights += list(final_packed)          # wfa, wfb, bf
+        l_f = final_packed[0].shape[-1]
+        out_shapes = [jax.ShapeDtypeStruct((bp, h, w, l_f), x1.dtype)]
+        out_specs = [core(l_f)]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((bp, h, w, l_out), x1.dtype)] * 2
+        out_specs = [core(l_out), core(l_out)]
     kern = functools.partial(_packed_chain_kernel, th=th, w=w, nj=nj, k=n,
                              n_units=n, mm_dtype=packed_units[0]["w2"].dtype,
-                             inj_idx=inj_idx, upsample=upsample)
-    y1, y2 = pl.pallas_call(
+                             inj_idx=inj_idx, upsample=upsample, final=final)
+    out = pl.pallas_call(
         kern,
         grid=(bp, nj),
-        out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_out), x1.dtype)] * 2,
+        out_shape=out_shapes,
         in_specs=[spec1, halo1, halo1, core(l_in), halo, halo]
         + extra_specs + [wspec(a) for a in weights],
-        out_specs=[core(l_out), core(l_out)],
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x1, x1t, x1b, x2, x2t, x2b, *extra_in, *weights)
-    return y1, y2
+    return out[0] if final else out
+
+
+def fold_final_conv_packed(fk: jax.Array, fb, g: int, dtype
+                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Final 1×1 conv [1,1,C,out] (or [C,out]) → row-split halves,
+    block-diagonal packed (wfa, wfb, bf) for the chain kernels' fused
+    epilogue."""
+    if fk.ndim == 4:
+        fk = fk[0, 0]
+    cc, out = fk.shape
+    half = cc // 2
+    eye = jnp.eye(g, dtype=jnp.float32)
+
+    def bd(wm):
+        return jnp.einsum("gh,ab->gahb", eye,
+                          wm.astype(jnp.float32)).reshape(
+            g * wm.shape[0], g * wm.shape[1])
+
+    bfv = jnp.broadcast_to(jnp.asarray(fb, jnp.float32).reshape(-1), (out,))
+    return (bd(fk[:half]).astype(dtype), bd(fk[half:]).astype(dtype),
+            jnp.concatenate([bfv.reshape(1, -1)] * g, axis=-1))
+
+
+def _final_xla(y: jax.Array, final_proj) -> jax.Array:
+    fk, fb = final_proj
+    if fk.ndim == 4:
+        fk = fk[0, 0]
+    return jnp.einsum("bhwc,co->bhwo", y.astype(fk.dtype), fk) + fb
 
 
 def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
                                   t_vec: jax.Array = None,
                                   inj_after: int = None,
+                                  final_proj=None,
                                   interpret: bool = False) -> jax.Array:
     """:func:`packed_bottleneck_chain` fused into a single kernel launch.
 
@@ -971,12 +1022,14 @@ def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
     if _pick_tile_chain(x.shape[1], x.shape[2], max(widths),
                         len(units)) is None:
         if t_vec is None:
-            return packed_bottleneck_chain(x, units, g=g, interpret=interpret)
-        y = packed_bottleneck_chain(x, units[:inj_idx], g=g,
-                                    interpret=interpret)
-        y = _silu(y + t_vec[:, None, None, :].astype(y.dtype))
-        return packed_bottleneck_chain(y, units[inj_idx:], g=g,
-                                       interpret=interpret)
+            y = packed_bottleneck_chain(x, units, g=g, interpret=interpret)
+        else:
+            y = packed_bottleneck_chain(x, units[:inj_idx], g=g,
+                                        interpret=interpret)
+            y = _silu(y + t_vec[:, None, None, :].astype(y.dtype))
+            y = packed_bottleneck_chain(y, units[inj_idx:], g=g,
+                                        interpret=interpret)
+        return y if final_proj is None else _final_xla(y, final_proj)
     packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
         u, g, dtype=x.dtype) for u in units)
     x1 = pack_images(x[..., :ch], g)
@@ -988,8 +1041,13 @@ def packed_bottleneck_chain_whole(x: jax.Array, units, *, g: int = None,
         tvecs = tuple(
             pack_images(v.reshape(-1, 1, 1, ci), g).reshape(bp, 1, g * ci)
             for v in (t_vec[:, :ci], t_vec[:, ci:]))
-    y1, y2 = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
-                               interpret=interpret)
+    fp = None if final_proj is None else fold_final_conv_packed(
+        final_proj[0], final_proj[1], g, x.dtype)
+    out = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
+                            final_packed=fp, interpret=interpret)
+    if final_proj is not None:
+        return unpack_images(out, g)
+    y1, y2 = out
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
 
@@ -1252,6 +1310,7 @@ def packed_bottleneck_chain_whole_up(x_small: jax.Array, skip: jax.Array,
                                      units, *, g: int = None,
                                      t_vec: jax.Array = None,
                                      inj_after: int = None,
+                                     final_proj=None,
                                      interpret: bool = False) -> jax.Array:
     """Decoder-block chain with the 2× bilinear upsample fused in-kernel.
 
@@ -1278,6 +1337,7 @@ def packed_bottleneck_chain_whole_up(x_small: jax.Array, skip: jax.Array,
         x = jnp.concatenate([up, skip], axis=-1)
         return packed_bottleneck_chain_whole(x, units, g=g, t_vec=t_vec,
                                              inj_after=inj_after,
+                                             final_proj=final_proj,
                                              interpret=interpret)
     inj_idx = -1 if t_vec is None else int(inj_after)
     packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
@@ -1291,8 +1351,14 @@ def packed_bottleneck_chain_whole_up(x_small: jax.Array, skip: jax.Array,
         tvecs = tuple(
             pack_images(v.reshape(-1, 1, 1, ci), g).reshape(bp, 1, g * ci)
             for v in (t_vec[:, :ci], t_vec[:, ci:]))
-    y1, y2 = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
-                               upsample=True, interpret=interpret)
+    fp = None if final_proj is None else fold_final_conv_packed(
+        final_proj[0], final_proj[1], g, skip.dtype)
+    out = fused_chain_whole(x1, x2, packed, tvecs=tvecs, inj_idx=inj_idx,
+                            upsample=True, final_packed=fp,
+                            interpret=interpret)
+    if final_proj is not None:
+        return unpack_images(out, g)
+    y1, y2 = out
     return jnp.concatenate([unpack_images(y1, g), unpack_images(y2, g)],
                            axis=-1)
 
