@@ -434,3 +434,35 @@ def test_whole_chain_final_conv_epilogue():
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=2e-4)
+
+
+def test_packed_encoder_block_init_prologue():
+    """init ConvBnSiLu fused as the encoder-block prologue == XLA conv +
+    the fused block (raw image in, halves out)."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import _time_h
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import EncoderBlock
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        _init_conv_xla, packed_encoder_block)
+
+    rng = jax.random.PRNGKey(17)
+    raw = jax.random.normal(rng, (4, 16, 12, 3), jnp.float32)
+    ki = 0.2 * jax.random.normal(jax.random.fold_in(rng, 2), (3, 3, 3, 16),
+                                 jnp.float32)
+    bi = 0.05 * jnp.arange(16, dtype=jnp.float32)
+    x = _init_conv_xla(raw, ki, bi)
+    t_emb = jax.random.normal(jax.random.fold_in(rng, 1), (4, 32),
+                              jnp.float32)
+    mod = EncoderBlock(32)
+    variables = _nontrivial(mod.init(rng, x, t_emb, train=False))
+    ref_down, ref_sc = mod.apply(variables, x, t_emb, train=False)
+    p, s = variables["params"], variables["batch_stats"]
+    units = [fold_bottleneck_params(p[f"bn{i}"], s[f"bn{i}"])
+             for i in range(4)]
+    h = _time_h(t_emb, p["time_mlp"], jnp.float32)
+    sc, down = packed_encoder_block(raw, units, p["down"], s["down"],
+                                    t_vec=h, init_conv=(ki, bi),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_sc),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(down), np.asarray(ref_down),
+                               atol=3e-4)

@@ -190,7 +190,6 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         use_pallas = False
     x = x.astype(dtype)
     ki, bi = folded["init"]
-    x = _silu(_conv(x, ki, bi, stride=1, pad=1))
 
     t_emb = None
     if t is not None:
@@ -199,21 +198,27 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
     mode = _resolve_mode(use_pallas)
     chain_fused = mode in ("chain", "chain_interpret")
 
+    did_init = False
     shortcuts = []
-    for blk in folded["enc"]:
+    for ei, blk in enumerate(folded["enc"]):
         n = blk["name"]
         if chain_fused and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            # whole encoder block (chain4 → shortcut → TimeMLP → stride-2
-            # downsample) in ONE launch
+            # whole encoder block ([init ConvBnSiLu on block 0] → chain4 →
+            # shortcut → TimeMLP → stride-2 downsample) in ONE launch
             from ..ops.shuffle_pallas import packed_encoder_block
             h_vec = (None if t_emb is None
                      else _time_h(t_emb, params[n]["time_mlp"], dtype))
             shortcut, x = packed_encoder_block(
                 x.astype(dtype), blk["units"][:4], params[n]["down"],
                 stats[n]["down"], t_vec=h_vec,
+                init_conv=None if did_init else (ki, bi),
                 interpret=mode == "chain_interpret")
+            did_init = True
             shortcuts.append(shortcut)
             continue
+        if not did_init:
+            x = _silu(_conv(x, ki, bi, stride=1, pad=1))
+            did_init = True
         x = _chain(x, blk["units"][:4], use_pallas)
         shortcut = x
         h_vec = None
@@ -226,16 +231,19 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
                         use_pallas, t_vec=h_vec)
         shortcuts.append(shortcut)
 
+    if not did_init:  # a fully-odd grid never entered the fused block
+        x = _silu(_conv(x, ki, bi, stride=1, pad=1))
+        did_init = True
     x = _chain(x, folded["mid"], use_pallas)
 
     fk = params["final_conv"]["kernel"].astype(dtype)
     fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)
 
-    for bi, blk in enumerate(folded["dec"]):
+    for di, blk in enumerate(folded["dec"]):
         n = blk["name"]
         sc = shortcuts.pop()
         b, h, w, c = x.shape
-        last = bi == len(folded["dec"]) - 1
+        last = di == len(folded["dec"]) - 1
         if chain_fused:
             # whole decoder block (2× bilinear upsample → chain4 → TimeMLP
             # → chain1 → [final 1×1 conv on the last block]) in ONE launch;

@@ -1136,10 +1136,17 @@ def fold_downsample_params_packed_split(folded: Dict[str, jax.Array], g: int,
 
 
 def _packed_enc_block_kernel(*refs, th: int, w: int, nj: int, n_units: int,
-                             mm_dtype, inject: bool = False):
-    k = n_units + 1
-    x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
-    base = 6
+                             mm_dtype, inject: bool = False,
+                             init: bool = False):
+    k = n_units + 1 + (1 if init else 0)
+    if init:
+        xrc, xrt, xrb = refs[:3]
+        base = 3
+        wia, wib, bia, bib = refs[base:base + 4]
+        base += 4
+    else:
+        x1c, x1t, x1b, x2c, x2t, x2b = refs[:6]
+        base = 6
     tv1 = tv2 = None
     if inject:
         tv1, tv2 = refs[base:base + 2]
@@ -1157,8 +1164,30 @@ def _packed_enc_block_kernel(*refs, th: int, w: int, nj: int, n_units: int,
         return jnp.concatenate([t[0, 0], c[0], b[0, 0]],
                                axis=0).astype(jnp.float32)
 
-    x1 = full(x1c, x1t, x1b)
-    x2 = full(x2c, x2t, x2b)
+    if init:
+        # fused init ConvBnSiLu (3×3 dense, reference unet3d.py:148): the
+        # raw image is the kernel input; the two branch halves are produced
+        # directly by column-split taps (wia/wib), so the full-width tensor
+        # never exists in HBM
+        xr = full(xrc, xrt, xrb)               # [T, W, g·Cin]
+        t_, ww, li = xr.shape
+        zr = jnp.zeros((1, ww, li), xr.dtype)
+        xp = jnp.concatenate([zr, xr, zr], axis=0)
+        zc = jnp.zeros((t_ + 2, 1, li), xr.dtype)
+        xp = jnp.concatenate([zc, xp, zc], axis=1)
+        acc1 = acc2 = None
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + t_, dx:dx + ww].astype(mm_dtype)
+                a1 = _mm_rows(tap, wia[3 * dy + dx])
+                a2 = _mm_rows(tap, wib[3 * dy + dx])
+                acc1 = a1 if acc1 is None else acc1 + a1
+                acc2 = a2 if acc2 is None else acc2 + a2
+        x1 = _silu(acc1 + bia[:])
+        x2 = _silu(acc2 + bib[:])
+    else:
+        x1 = full(x1c, x1t, x1b)
+        x2 = full(x2c, x2t, x2b)
     row = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 1, 1), 0)
     oob = (j_first & (row < k)) | (j_last & (row >= th + k))
     x1, x2 = _chain_units_body(x1, x2, wrefs, oob, n_units, mm_dtype,
@@ -1202,14 +1231,18 @@ def _packed_enc_block_kernel(*refs, th: int, w: int, nj: int, n_units: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "inject"))
-def fused_encoder_block(x1: jax.Array, x2: jax.Array, packed_units,
+def fused_encoder_block(x1: jax.Array, x2, packed_units,
                         down_packed, *, tvecs=None, inject: bool = False,
-                        interpret: bool = False):
+                        init_packed=None, interpret: bool = False):
     """Whole EncoderBlock on packed halves: returns (s1, s2, d1, d2) —
-    the full-res stage/shortcut halves and the downsampled halves."""
+    the full-res stage/shortcut halves and the downsampled halves.
+    With ``init_packed`` (wia, wib, bia, bib), ``x1`` is the packed RAW
+    image and the init ConvBnSiLu runs as the kernel prologue (x2 unused).
+    """
     packed_units = list(packed_units)
     n = len(packed_units)
-    k = n + 1
+    init = init_packed is not None
+    k = n + 1 + (1 if init else 0)
     bp, h, w, l_in = x1.shape
     l_s = packed_units[-1]["w1a"].shape[-1]
     l_d = down_packed["w1aa"].shape[-1]
@@ -1220,7 +1253,6 @@ def fused_encoder_block(x1: jax.Array, x2: jax.Array, packed_units,
         raise ValueError("no VMEM-feasible even row tile for this block")
     nj = h // th
     x1t, x1b = _edge_rows_k(x1, th, k)
-    x2t, x2b = _edge_rows_k(x2, th, k)
     core = lambda l: pl.BlockSpec((1, th, w, l), lambda i, j: (i, j, 0, 0),
                                   memory_space=pltpu.VMEM)
     halo = pl.BlockSpec((1, 1, k, w, l_in), lambda i, j: (i, j, 0, 0, 0),
@@ -1230,35 +1262,75 @@ def fused_encoder_block(x1: jax.Array, x2: jax.Array, packed_units,
                          memory_space=pltpu.VMEM)
     wspec = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
-    extra_in, extra_specs = [], []
+    if init:
+        inputs = [x1, x1t, x1b]
+        in_specs = [core(l_in), halo, halo]
+        inputs += list(init_packed)
+        in_specs += [wspec(a) for a in init_packed]
+    else:
+        x2t, x2b = _edge_rows_k(x2, th, k)
+        inputs = [x1, x1t, x1b, x2, x2t, x2b]
+        in_specs = [core(l_in), halo, halo, core(l_in), halo, halo]
     if inject:
         tv1, tv2 = tvecs
         tvspec = pl.BlockSpec((1, 1, tv1.shape[-1]), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-        extra_in, extra_specs = [tv1, tv2], [tvspec, tvspec]
+        inputs += [tv1, tv2]
+        in_specs += [tvspec, tvspec]
     weights = ([u[key] for u in packed_units for key in _CHAIN_KEYS]
                + [down_packed[key] for key in _DOWN_SPLIT_KEYS])
     kern = functools.partial(_packed_enc_block_kernel, th=th, w=w, nj=nj,
                              n_units=n,
                              mm_dtype=packed_units[0]["w2"].dtype,
-                             inject=inject)
+                             inject=inject, init=init)
     return pl.pallas_call(
         kern,
         grid=(bp, nj),
         out_shape=[jax.ShapeDtypeStruct((bp, h, w, l_s), x1.dtype)] * 2
         + [jax.ShapeDtypeStruct((bp, h // 2, w // 2, l_d), x1.dtype)] * 2,
-        in_specs=[core(l_in), halo, halo, core(l_in), halo, halo]
-        + extra_specs + [wspec(a) for a in weights],
+        in_specs=in_specs + [wspec(a) for a in weights],
         out_specs=[core(l_s), core(l_s), dspec, dspec],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x1, x1t, x1b, x2, x2t, x2b, *extra_in, *weights)
+    )(*inputs, *weights)
+
+
+def fold_init_conv_packed(ki: jax.Array, bi, g: int, dtype
+                          ) -> Tuple[jax.Array, ...]:
+    """BN-folded init conv [3,3,Cin,C] → per-tap column-split block-diag
+    (wia, wib [9, g·Cin, g·C/2]) + lane-tiled bias halves, so the kernel
+    prologue produces the two branch halves directly."""
+    cc = ki.shape[3]
+    half = cc // 2
+    eye = jnp.eye(g, dtype=jnp.float32)
+
+    def bd(wm):
+        return jnp.einsum("gh,ab->gahb", eye,
+                          wm.astype(jnp.float32)).reshape(
+            g * wm.shape[0], g * wm.shape[1])
+
+    wia = jnp.stack([bd(ki[dy, dx][:, :half])
+                     for dy in range(3) for dx in range(3)])
+    wib = jnp.stack([bd(ki[dy, dx][:, half:])
+                     for dy in range(3) for dx in range(3)])
+    biv = jnp.asarray(bi, jnp.float32).reshape(-1)
+    bia = jnp.concatenate([biv[:half].reshape(1, -1)] * g, axis=-1)
+    bib = jnp.concatenate([biv[half:].reshape(1, -1)] * g, axis=-1)
+    return wia.astype(dtype), wib.astype(dtype), bia, bib
+
+
+def _init_conv_xla(x: jax.Array, ki: jax.Array, bi) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x, ki.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _silu(y + jnp.asarray(bi, x.dtype).reshape(-1))
 
 
 def packed_encoder_block(x: jax.Array, units, down_raw: Dict[str, Any],
                          down_stats: Dict[str, Any], *,
                          t_vec: jax.Array = None, g: int = None,
+                         init_conv=None,
                          interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """Whole EncoderBlock (reference unet3d.py:127-144) in ONE launch:
@@ -1266,8 +1338,11 @@ def packed_encoder_block(x: jax.Array, units, down_raw: Dict[str, Any],
 
     Returns ``(shortcut, downsampled)`` NHWC. Requires even H/W (caller
     guards, as for :func:`packed_downsample`); falls back to the
-    two-launch path when no even VMEM row tile fits."""
-    ch = x.shape[-1] // 2
+    two-launch path when no even VMEM row tile fits. With
+    ``init_conv=(ki, bi)`` (BN-folded [3,3,Cin,C] + bias), ``x`` is the
+    RAW image and the init ConvBnSiLu runs as the kernel prologue."""
+    ch = (init_conv[0].shape[3] if init_conv is not None
+          else x.shape[-1]) // 2
     b, hh, ww, _ = x.shape
     if g is None:
         g, c = 128, ch
@@ -1278,8 +1353,11 @@ def packed_encoder_block(x: jax.Array, units, down_raw: Dict[str, Any],
     folded_d = fold_downsample_params(down_raw, down_stats)
     widths = ([g * ch] + [g * u["w1"].shape[-1] for u in units]
               + [g * folded_d["w2"].shape[-1], g * folded_d["w1"].shape[-1]])
-    th = _pick_tile_chain(hh, ww, max(widths), len(units) + 1, even=True)
+    k = len(units) + 1 + (1 if init_conv is not None else 0)
+    th = _pick_tile_chain(hh, ww, max(widths), k, even=True)
     if th is None:
+        if init_conv is not None:
+            x = _init_conv_xla(x, *init_conv)
         sc = packed_bottleneck_chain_whole(x, units, g=g,
                                            interpret=interpret)
         return sc, packed_downsample(sc, down_raw, down_stats, t_vec=t_vec,
@@ -1287,8 +1365,14 @@ def packed_encoder_block(x: jax.Array, units, down_raw: Dict[str, Any],
     packed = tuple(u if "w1a" in u else fold_bottleneck_params_packed(
         u, g, dtype=x.dtype) for u in units)
     pd = fold_downsample_params_packed_split(folded_d, g, dtype=x.dtype)
-    x1 = pack_images(x[..., :ch], g)
-    x2 = pack_images(x[..., ch:], g)
+    init_packed = None
+    if init_conv is not None:
+        init_packed = fold_init_conv_packed(init_conv[0], init_conv[1], g,
+                                            x.dtype)
+        x1, x2 = pack_images(x, g), None
+    else:
+        x1 = pack_images(x[..., :ch], g)
+        x2 = pack_images(x[..., ch:], g)
     tvecs = None
     if t_vec is not None:
         ci = t_vec.shape[-1] // 2
@@ -1298,6 +1382,7 @@ def packed_encoder_block(x: jax.Array, units, down_raw: Dict[str, Any],
             for v in (t_vec[:, :ci], t_vec[:, ci:]))
     s1, s2, d1, d2 = fused_encoder_block(x1, x2, packed, pd, tvecs=tvecs,
                                          inject=t_vec is not None,
+                                         init_packed=init_packed,
                                          interpret=interpret)
     sc = jnp.concatenate([unpack_images(s1, g), unpack_images(s2, g)],
                          axis=-1)
