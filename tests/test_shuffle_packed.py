@@ -466,3 +466,25 @@ def test_packed_encoder_block_init_prologue():
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(down), np.asarray(ref_down),
                                atol=3e-4)
+
+
+def test_full_unet_chain_inference_bf16():
+    """Production dtype through the fully-fused chain path (init prologue,
+    encoder blocks, upsample + injection + final epilogue) — matches the
+    f32 flax module to bf16 tolerance."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    rng = jax.random.PRNGKey(18)
+    unet = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                       out_channels=1, base_dim=16, dim_mults=(1, 2))
+    x = jax.random.normal(rng, (4, 32, 16, 1), jnp.float32)
+    t = jnp.array([3, 7, 1, 9], jnp.int32)
+    variables = _nontrivial(unet.init(rng, x, None, t, train=False))
+    ref = unet.apply(variables, x, None, t, train=False)
+    folded = fold_unet(variables, dtype=jnp.bfloat16)
+    out = apply_folded(folded, x, t, use_pallas="chain_interpret",
+                       dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
+                               np.asarray(ref), atol=0.25, rtol=0.1)
