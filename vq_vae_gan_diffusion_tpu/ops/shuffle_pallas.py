@@ -1246,7 +1246,10 @@ def fused_encoder_block(x1: jax.Array, x2, packed_units,
     bp, h, w, l_in = x1.shape
     l_s = packed_units[-1]["w1a"].shape[-1]
     l_d = down_packed["w1aa"].shape[-1]
-    l_max = max([l_in, l_d, down_packed["w2a"].shape[-1]]
+    # include unit 0's input width (w2's row count) — with the init
+    # prologue l_in is the tiny raw-image lane count, not the chain width
+    l_max = max([l_in, l_d, down_packed["w2a"].shape[-1],
+                 packed_units[0]["w2"].shape[0]]
                 + [u["w1a"].shape[-1] for u in packed_units])
     th = _pick_tile_chain(h, w, l_max, k, even=True)
     if th is None:
