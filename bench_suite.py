@@ -131,20 +131,28 @@ def main() -> int:
     print("ddpm packed", results["ddpm_1000step_sampling_b16_packed"],
           flush=True)
 
-    # same chain through the v3 whole-chain kernel (one launch per stage,
-    # activations stay in VMEM between units; fused_sampler: chain)
-    proc_c = GaussianDiffusion3D((256, 96), 1, T, T,
-                                 lambda x, c, t: apply_folded(
-                                     folded, x, t, use_pallas="chain",
-                                     dtype=jnp.bfloat16).astype(x.dtype),
-                                 "noise_mse", "ddpm")
-    sample16c = jax.jit(lambda rng: proc_c.ddpm_sample(rng, 16, False, True))
-    dt = timeit(sample16c, jax.random.PRNGKey(0), iters=2, warmup=1)
-    results["ddpm_1000step_sampling_b16_chain"] = {
-        "seconds_per_chain": round(dt, 2),
-        "denoise_steps_per_sec": round(T / dt, 1)}
-    print("ddpm chain", results["ddpm_1000step_sampling_b16_chain"],
-          flush=True)
+    # same chain through the v3 whole-block kernels (one launch per network
+    # block, activations stay in VMEM; fused_sampler: chain) — guarded so a
+    # Mosaic-lowering failure surfaces without killing the rest of the suite
+    try:
+        proc_c = GaussianDiffusion3D((256, 96), 1, T, T,
+                                     lambda x, c, t: apply_folded(
+                                         folded, x, t, use_pallas="chain",
+                                         dtype=jnp.bfloat16).astype(x.dtype),
+                                     "noise_mse", "ddpm")
+        sample16c = jax.jit(lambda rng: proc_c.ddpm_sample(rng, 16, False,
+                                                           True))
+        dt = timeit(sample16c, jax.random.PRNGKey(0), iters=2, warmup=1)
+        results["ddpm_1000step_sampling_b16_chain"] = {
+            "seconds_per_chain": round(dt, 2),
+            "denoise_steps_per_sec": round(T / dt, 1)}
+        print("ddpm chain", results["ddpm_1000step_sampling_b16_chain"],
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        results["ddpm_1000step_sampling_b16_chain"] = {
+            "error": f"{type(e).__name__}: {e}"[:300]}
+        print("ddpm chain FAILED:", results[
+            "ddpm_1000step_sampling_b16_chain"]["error"], flush=True)
 
     # 3b: discrete VQ-diffusion (mask-and-replace) sampling chain --------------
     # Reference Diffusion_VQ_Official.sample (diffusion_vq_official.py:515-577):
