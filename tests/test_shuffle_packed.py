@@ -488,3 +488,36 @@ def test_full_unet_chain_inference_bf16():
                        dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
                                np.asarray(ref), atol=0.25, rtol=0.1)
+
+
+def test_chain_kernel_under_mesh_dp():
+    """The whole-chain kernel composes with data-parallel sharding via
+    shard_map on an 8-device mesh (multi-chip sampling: each device runs
+    the kernel on its batch shard)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
+        packed_bottleneck_chain_whole)
+
+    rng = jax.random.PRNGKey(19)
+    x = jax.random.normal(rng, (8, 16, 12, 16), jnp.float32)
+    cur, units = x, []
+    for i in range(2):
+        ref, folded = _make_unit(jax.random.fold_in(rng, i), cur, 16)
+        units.append(folded)
+        cur = ref
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    fn = partial(packed_bottleneck_chain_whole, units=units, g=1,
+                 interpret=True)
+    sharded = jax.jit(jax.shard_map(
+        lambda xx: fn(xx), mesh=mesh,
+        in_specs=P("data"), out_specs=P("data"), check_vma=False))
+    out = sharded(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=1e-4)
