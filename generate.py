@@ -36,7 +36,15 @@ def main(argv=None) -> int:
                         choices=["on", "off", "pallas", "packed", "chain"],
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a JAX backend (the axon TPU plugin ignores "
+                             "JAX_PLATFORMS; set before the first device op)")
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from vq_vae_gan_diffusion_tpu.config import load_config, validate
     from vq_vae_gan_diffusion_tpu.data import load_dataloader

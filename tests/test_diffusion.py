@@ -124,6 +124,59 @@ def test_q_posterior_is_distribution(disc, rng):
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
 
 
+def test_q_posterior_idx_matches_dense(disc, rng):
+    """Structured one-hot posterior ≡ dense q_posterior on one-hot x_t."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    # x_t with a mix of ordinary and [MASK] tokens
+    x_t = jax.random.randint(r1, (3, N), 0, K)
+    log_xt = index_to_log_onehot(x_t, K)
+    # dense log_x_start as a model-style clamped log-softmax
+    logits = jax.random.normal(r2, (3, N, K - 1))
+    log_x0 = jnp.clip(jnp.concatenate(
+        [jax.nn.log_softmax(logits, -1),
+         jnp.full((3, N, 1), -70.0)], -1), -70.0, 0.0)
+    for t_val in ([0, 1, T - 1], [2, 3, 4]):
+        t = jnp.array(t_val)
+        dense = np.asarray(disc.q_posterior(log_x0, log_xt, t))
+        fast = np.asarray(disc.q_posterior_idx(log_x0, x_t, t))
+        np.testing.assert_allclose(fast, dense, atol=1e-5, rtol=1e-5)
+    # also with a one-hot log_x_start (the train-loss log_true_prob call)
+    x0 = jax.random.randint(r3, (3, N), 0, K - 1)
+    log_x0_oh = index_to_log_onehot(x0, K)
+    t = jnp.array([1, 2, T - 1])
+    dense = np.asarray(disc.q_posterior(log_x0_oh, log_xt, t))
+    fast = np.asarray(disc.q_posterior_idx(log_x0_oh, x_t, t))
+    np.testing.assert_allclose(fast, dense, atol=1e-5, rtol=1e-5)
+
+
+def test_sample_idx_carry_matches_dense_chain(disc, rng):
+    """The index-carry sampler reproduces the dense-chain trajectory
+    token-for-token (same rng stream; logits agree to ~1e-21)."""
+
+    def sample_dense(rng, batch_size):
+        rng_init, rng_loop = jax.random.split(rng)
+        log_z = disc._chain_init(rng_init, batch_size)
+        def body(carry, i):
+            log_z, r = carry
+            r, sub = jax.random.split(r)
+            t = jnp.full((batch_size,), i, jnp.int32)
+            log_z = disc.log_sample_categorical(sub, disc.p_pred(log_z, t))
+            return (log_z, r), None
+        (log_z, _), _ = jax.lax.scan(
+            body, (log_z, rng_loop),
+            jnp.arange(disc.sampling_timesteps - 1, -1, -1))
+        return log_onehot_to_index(log_z)
+
+    ref = np.asarray(sample_dense(rng, 2))
+    got = np.asarray(disc.sample(rng, batch_size=2))
+    np.testing.assert_array_equal(got, ref)
+    # filmstrip variant: same final tokens, one frame per reverse step
+    got2, frames = disc.sample(rng, batch_size=2, return_all_timesteps=True)
+    np.testing.assert_array_equal(np.asarray(got2), ref)
+    assert frames.shape == (2, disc.sampling_timesteps, N)
+    np.testing.assert_array_equal(np.asarray(frames[:, -1]), ref)
+
+
 def test_discrete_train_loss_and_state(disc, rng):
     x0 = jax.random.randint(rng, (2, N), 0, K - 1)
     lt = LtState.init(T)

@@ -40,7 +40,16 @@ def main(argv=None) -> int:
                         choices=["on", "off", "pallas", "packed", "chain"],
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a JAX backend (the axon TPU plugin ignores "
+                             "JAX_PLATFORMS; this sets jax.config before the "
+                             "first device op, the only reliable switch)")
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from vq_vae_gan_diffusion_tpu.config import load_config, validate
     from vq_vae_gan_diffusion_tpu.data import load_dataloader
@@ -53,8 +62,11 @@ def main(argv=None) -> int:
     model_name = config.architecture.model_name
     dataset_name = config.dataset.dataset_name
 
-    if args.debug:  # reference train.py:36-39
+    train_split = str(config.dataset.get("train_split", "train"))
+    if args.debug:  # reference train.py:36-43: batch 2, val split, 1 worker
         config = config.replace_path("trainer.num_epochs", 1)
+        config = config.replace_path("trainer.num_workers", 1)
+        train_split = "val"
 
     if args.fused_sampler is not None:
         val = {"on": True, "off": False}.get(args.fused_sampler,
@@ -77,8 +89,14 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     logger.info("devices: %s", jax.devices())
     mesh = create_mesh()
+    if args.debug:
+        # reference batch 2 (train.py:37), rounded up to the data-parallel
+        # axis so the shard math stays valid on multi-device meshes
+        dbs = max(2, int(mesh.shape.get("data", 1)))
+        config = config.replace_path(
+            f"dataset.batch_size.{model_name}.{dataset_name}", dbs)
 
-    train_loader, _ = load_dataloader(dataset_name, "train", logger, config,
+    train_loader, _ = load_dataloader(dataset_name, train_split, logger, config,
                                       seed=args.seed)
     try:
         val_loader, _ = load_dataloader(dataset_name, "val", logger, config,

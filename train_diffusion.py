@@ -43,7 +43,15 @@ def main(argv=None) -> int:
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a JAX backend (the axon TPU plugin ignores "
+                             "JAX_PLATFORMS; set before the first device op)")
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     import jax
     from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache

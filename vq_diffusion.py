@@ -31,7 +31,15 @@ def main(argv=None) -> int:
     parser.add_argument("--use-text-condition", action="store_true",
                         default=USE_TEXT_CONDITION)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a JAX backend (the axon TPU plugin ignores "
+                             "JAX_PLATFORMS; set before the first device op)")
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     import jax
     import jax.numpy as jnp

@@ -193,18 +193,74 @@ class DiscreteDiffusion:
         log_ev = self.q_pred(q, t - 1) + log_qt_one + q_log_sum_exp
         return jnp.clip(log_ev, LOG_EPS, 0.0)
 
+    def q_posterior_idx(self, log_x_start: jax.Array, x_t_idx: jax.Array,
+                        t: jax.Array) -> jax.Array:
+        """:meth:`q_posterior` specialized to a one-hot x_t given by indices.
+
+        Log-equivalent to ``q_posterior(log_x_start,
+        index_to_log_onehot(x_t_idx), t)`` up to the 1e-30 one-hot floor
+        (relative error ~1e-21, far below f32 resolution): on a one-hot
+        carry, ``q_pred`` / ``q_pred_one_timestep`` collapse to two scalars
+        per row plus a column correction at x_t, so the dense [B, N, K]
+        log_add_exp chains become broadcasted selects (~8 fewer K-wide
+        memory passes per reverse step). The reference itself notes the
+        precondition ("notice that log_x_t is onehot",
+        diffusion_vq_official.py:249) but still does the dense math; only
+        the chain-init noise step violates it, which :meth:`sample` runs
+        through the dense path.
+        """
+        s = self.sched
+        b, n = x_t_idx.shape
+        k = self.num_classes
+        mask = (x_t_idx == k - 1)[..., None]                  # [B, N, 1]
+        at_col = (jnp.arange(k - 1)[None, None, :] == x_t_idx[..., None]) & ~mask
+
+        log_att, log_btt = _ex(s.log_cumprod_at, t), _ex(s.log_cumprod_bt, t)
+        log_ctt = _ex(s.log_cumprod_ct, t)
+        log_at, log_bt, log_ct = (_ex(s.log_at, t), _ex(s.log_bt, t),
+                                  _ex(s.log_ct, t))
+        log_att_btt = jnp.logaddexp(log_att, log_btt)
+        log_at_bt = jnp.logaddexp(log_at, log_bt)
+
+        # q_pred(onehot x_t, t)[..., :-1], masked rows := log ctt̄
+        log_qt = jnp.where(at_col, log_att_btt, jnp.where(mask, log_ctt, log_btt))
+
+        log_zero = jnp.full((b, n, 1), jnp.log(1e-30), jnp.float32)
+        q = jnp.concatenate([log_x_start[..., :-1] - log_qt, log_zero], axis=-1)
+        q_log_sum_exp = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
+        q = q - q_log_sum_exp
+
+        # q_pred_one_timestep(onehot x_t, t) with last col := log 1e-30,
+        # masked rows := [log ct, ..., log ct, 0]
+        nonmask = jnp.where(at_col, log_at_bt, jnp.where(mask, log_ct, log_bt))
+        last = jnp.where(mask, 0.0, jnp.log(1e-30)).astype(jnp.float32)
+        log_qt_one = jnp.concatenate([nonmask, last], axis=-1)
+
+        log_ev = self.q_pred(q, t - 1) + log_qt_one + q_log_sum_exp
+        return jnp.clip(log_ev, LOG_EPS, 0.0)
+
     def p_pred(self, log_x: jax.Array, t: jax.Array) -> jax.Array:
         log_x_recon = self.predict_start(log_x, t)
         return self.q_posterior(log_x_recon, log_x, t)
 
+    def p_pred_idx(self, x_idx: jax.Array, t: jax.Array) -> jax.Array:
+        """:meth:`p_pred` on an index carry (reverse-sampler steps ≥ 1)."""
+        log_x = index_to_log_onehot(x_idx, self.num_classes)
+        log_x_recon = self.predict_start(log_x, t)
+        return self.q_posterior_idx(log_x_recon, x_idx, t)
+
     # -- sampling helpers ------------------------------------------------------
-    def log_sample_categorical(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
+    def sample_categorical_idx(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
+        """Gumbel-argmax sample, returned as indices (reference :299-304)."""
         uniform = jax.random.uniform(rng, logits.shape)
         gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
-        sample = jnp.argmax(gumbel + logits, axis=-1)
+        return jnp.argmax(gumbel + logits, axis=-1)
+
+    def log_sample_categorical(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
+        sample = self.sample_categorical_idx(rng, logits)
         return index_to_log_onehot(sample, self.num_classes)
 
-    def log_sample_categorical_truncated(self, rng: jax.Array,
+    def sample_categorical_truncated_idx(self, rng: jax.Array,
                                          logits: jax.Array) -> jax.Array:
         """Truncated (top-r) Gumbel sampling (reference vq_diffusion.py:291-304)."""
         r = self.truncation_rate or 0.86
@@ -213,7 +269,11 @@ class DiscreteDiffusion:
         logits = jnp.where(logits < kth, -jnp.inf, logits)
         uniform = jax.random.uniform(rng, logits.shape)
         gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
-        sample = jnp.argmax(gumbel + logits, axis=-1)
+        return jnp.argmax(gumbel + logits, axis=-1)
+
+    def log_sample_categorical_truncated(self, rng: jax.Array,
+                                         logits: jax.Array) -> jax.Array:
+        sample = self.sample_categorical_truncated_idx(rng, logits)
         return index_to_log_onehot(sample, self.num_classes)
 
     def q_sample(self, rng: jax.Array, log_x_start: jax.Array,
@@ -249,11 +309,12 @@ class DiscreteDiffusion:
         t, pt = self.sample_time(rng_t, b, lt)
 
         log_x_start = index_to_log_onehot(x0, self.num_classes)
-        log_xt = self.q_sample(rng_q, log_x_start, t)
-        xt = log_onehot_to_index(log_xt)
+        xt = self.sample_categorical_idx(rng_q, self.q_pred(log_x_start, t))
+        log_xt = index_to_log_onehot(xt, self.num_classes)
 
         log_x0_recon = self.predict_start(log_xt, t)
-        log_model_prob = self.q_posterior(log_x0_recon, log_xt, t)
+        # log_xt is an exact one-hot (q_sample output) → structured posterior
+        log_model_prob = self.q_posterior_idx(log_x0_recon, xt, t)
 
         # telemetry EMAs (on-device scatter; replaces Python-list .cpu() loop)
         x0_recon = log_onehot_to_index(log_x0_recon)
@@ -263,7 +324,7 @@ class DiscreteDiffusion:
         acc_ema = lt.acc_ema.at[t].set(0.1 * same0 + 0.9 * lt.acc_ema[t])
         keep_ema = lt.keep_ema.at[t].set(0.1 * samek + 0.9 * lt.keep_ema[t])
 
-        log_true_prob = self.q_posterior(log_x_start, log_xt, t)
+        log_true_prob = self.q_posterior_idx(log_x_start, xt, t)
         kl = jnp.sum(jnp.exp(log_true_prob) * (log_true_prob - log_model_prob),
                      axis=-1)                                        # [B, N]
         mask_region = (xt == self.num_classes - 1).astype(jnp.float32)
@@ -316,20 +377,29 @@ class DiscreteDiffusion:
         log_z = self._chain_init(rng_init, batch_size)
         start = self.sampling_timesteps
 
+        # Step t = start-1 consumes the dense chain-init noise (NOT a
+        # one-hot — the reference's log(U(0,1)) quirk, :560-566), so it runs
+        # the dense posterior; every later step's carry is an exact one-hot
+        # index and takes the structured path (q_posterior_idx).
+        rng_loop, sub0 = jax.random.split(rng_loop)
+        t0 = jnp.full((batch_size,), start - 1, jnp.int32)
+        z_idx = self.sample_categorical_idx(sub0, self.p_pred(log_z, t0))
+
         def body(carry, i):
-            log_z, rng = carry
+            z_idx, rng = carry
             rng, sub = jax.random.split(rng)
             t = jnp.full((batch_size,), i, jnp.int32)
-            log_z = self.log_sample_categorical(sub, self.p_pred(log_z, t))
-            return (log_z, rng), (log_onehot_to_index(log_z)
-                                  if return_all_timesteps else None)
+            z_idx = self.sample_categorical_idx(sub, self.p_pred_idx(z_idx, t))
+            return (z_idx, rng), (z_idx if return_all_timesteps else None)
 
-        (log_z, _), frames = jax.lax.scan(body, (log_z, rng_loop),
-                                          jnp.arange(start - 1, -1, -1))
-        indices = log_onehot_to_index(log_z)
+        first_frame = z_idx
+        (z_idx, _), frames = jax.lax.scan(body, (z_idx, rng_loop),
+                                          jnp.arange(start - 2, -1, -1))
         if return_all_timesteps:
-            return indices, jnp.swapaxes(frames, 0, 1)
-        return indices
+            # one frame per reverse step (t = start-1 .. 0), as before
+            frames = jnp.concatenate([first_frame[None], frames], axis=0)
+            return z_idx, jnp.swapaxes(frames, 0, 1)
+        return z_idx
 
     def sample_fast(self, rng: jax.Array, batch_size: int = 16,
                     skip_step: int = 1) -> jax.Array:
@@ -339,17 +409,29 @@ class DiscreteDiffusion:
         steps = list(range(start - 1, -1, -1 - skip_step))
         if steps[-1] != 0:
             steps.append(0)
-        steps = jnp.asarray(steps, jnp.int32)
+
+        def post_sample(log_z_or_idx, rng, i, dense: bool):
+            sub = rng
+            t = jnp.full((batch_size,), i, jnp.int32)
+            t_post = jnp.where(i > skip_step, t - skip_step, t)
+            if dense:
+                log_x_recon = self.predict_start(log_z_or_idx, t)
+                prob = self.q_posterior(log_x_recon, log_z_or_idx, t_post)
+            else:
+                log_x = index_to_log_onehot(log_z_or_idx, self.num_classes)
+                log_x_recon = self.predict_start(log_x, t)
+                prob = self.q_posterior_idx(log_x_recon, log_z_or_idx, t_post)
+            return self.sample_categorical_idx(sub, prob)
+
+        # dense chain-init step, then structured one-hot steps (see sample())
+        rng_loop, sub0 = jax.random.split(rng_loop)
+        z_idx = post_sample(log_z, sub0, jnp.int32(steps[0]), dense=True)
 
         def body(carry, i):
-            log_z, rng = carry
+            z_idx, rng = carry
             rng, sub = jax.random.split(rng)
-            t = jnp.full((batch_size,), i, jnp.int32)
-            log_x_recon = self.predict_start(log_z, t)
-            t_post = jnp.where(i > skip_step, t - skip_step, t)
-            model_log_prob = self.q_posterior(log_x_recon, log_z, t_post)
-            log_z = self.log_sample_categorical(sub, model_log_prob)
-            return (log_z, rng), None
+            return (post_sample(z_idx, sub, i, dense=False), rng), None
 
-        (log_z, _), _ = jax.lax.scan(body, (log_z, rng_loop), steps)
-        return log_onehot_to_index(log_z)
+        (z_idx, _), _ = jax.lax.scan(body, (z_idx, rng_loop),
+                                     jnp.asarray(steps[1:], jnp.int32))
+        return z_idx

@@ -27,6 +27,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..diffusion.discrete import (DiscreteDiffusion, LtState,
@@ -158,17 +159,22 @@ class TransformerVQDiffusion:
         d = self.diffusion
         rng_init, rng_loop = jax.random.split(rng)
         log_z = d._chain_init(rng_init, num_samples)
-        steps = jnp.arange(d.num_timesteps - 1, -1, -skip_step)
+        steps = np.arange(d.num_timesteps - 1, -1, -skip_step)
+
+        # dense first step on the q(x_T) prior init, structured one-hot after
+        rng_loop, sub0 = jax.random.split(rng_loop)
+        t0 = jnp.full((num_samples,), int(steps[0]), jnp.int32)
+        z_idx = d.sample_categorical_truncated_idx(sub0, d.p_pred(log_z, t0))
 
         def body(carry, i):
-            log_z, rng = carry
+            z_idx, rng = carry
             rng, sub = jax.random.split(rng)
             t = jnp.full((num_samples,), i, jnp.int32)
-            log_model_prob = d.p_pred(log_z, t)
-            log_z = d.log_sample_categorical_truncated(sub, log_model_prob)
-            return (log_z, rng), None
+            z_idx = d.sample_categorical_truncated_idx(sub, d.p_pred_idx(z_idx, t))
+            return (z_idx, rng), None
 
-        (log_z, _), _ = jax.lax.scan(body, (log_z, rng_loop), steps)
-        idx = jnp.minimum(log_onehot_to_index(log_z), self.num_classes - 2)
+        (z_idx, _), _ = jax.lax.scan(body, (z_idx, rng_loop),
+                                     jnp.asarray(steps[1:], jnp.int32))
+        idx = jnp.minimum(z_idx, self.num_classes - 2)
         g = int(self.seq_len ** 0.5)
         return idx.reshape(num_samples, g, g)
