@@ -171,14 +171,24 @@ def main() -> int:
             jnp.zeros((1,), jnp.int32), train=False)
     uvars = jax.device_put(uvars, jax.devices()[0])
     Td = comp.prior.sampling_timesteps
-    sample_disc = jax.jit(lambda rng: comp.sample(
-        uvars["params"], uvars.get("batch_stats", {}), rng, 16))
-    dt = timeit(sample_disc, jax.random.PRNGKey(0), iters=1, warmup=1)
-    results["vq_official_discrete_sampling_b16"] = {
-        "seconds_per_chain": round(dt, 2),
-        "denoise_steps_per_sec": round(Td / dt, 1)}
-    print("discrete", results["vq_official_discrete_sampling_b16"],
-          flush=True)
+    for fused, suffix in ((False, ""), (True, "_fusedpost")):
+        try:
+            comp.prior.fused_posterior = fused
+            sample_disc = jax.jit(lambda rng: comp.sample(
+                uvars["params"], uvars.get("batch_stats", {}), rng, 16))
+            dt = timeit(sample_disc, jax.random.PRNGKey(0), iters=1, warmup=1)
+            results[f"vq_official_discrete_sampling_b16{suffix}"] = {
+                "seconds_per_chain": round(dt, 2),
+                "denoise_steps_per_sec": round(Td / dt, 1)}
+            print("discrete", suffix or "xla",
+                  results[f"vq_official_discrete_sampling_b16{suffix}"],
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — surface lowering failures
+            results[f"vq_official_discrete_sampling_b16{suffix}"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]}
+            print("discrete", suffix, "FAILED:",
+                  results[f"vq_official_discrete_sampling_b16{suffix}"][
+                      "error"], flush=True)
 
     # 3c: continuous latent diffusion (Conv1d U-Net, DDIM) ---------------------
     # Reference GaussianDiffusion2D.sample (diffusion_gaussian2d.py:522-526,
@@ -205,6 +215,40 @@ def main() -> int:
         "seconds_per_chain": round(dt, 2),
         "denoise_steps_per_sec": round(Tg / dt, 1)}
     print("gaussian2d", results["gaussian2d_ddim_sampling_b16"], flush=True)
+
+    # 3d: transformer-predictor discrete diffusion sampling chain --------------
+    # Reference network/vq_diffusion/vq_diffusion.py (AdaLN transformer prior).
+    # The denoiser is tiny, so the [B, N, K] log-space posterior chains set the
+    # chain's roofline; measured XLA vs the fused per-step Pallas kernel
+    # (ops/discrete_posterior_pallas.py), which is token-identical.
+    from vq_vae_gan_diffusion_tpu.models.transformer_vq_diffusion import (
+        TransformerVQDiffusion)
+    tvq = TransformerVQDiffusion(codebook_size=1024, seq_len=256,
+                                 diffusion_steps=100, embedding_dim=512,
+                                 num_layers=4, num_heads=8,
+                                 dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        tp = tvq.predictor.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 256), jnp.int32),
+                                jnp.zeros((1,), jnp.int32))["params"]
+    tp = jax.device_put(tp, jax.devices()[0])
+    for fused, label in ((False, "xla"), (True, "fused")):
+        try:
+            tvq.diffusion.fused_posterior = fused
+            fn = jax.jit(lambda rng: tvq.sample(tp, rng, 16))
+            dt = timeit(fn, jax.random.PRNGKey(0), iters=2, warmup=1)
+            results[f"transformer_vqdiff_sampling_b16_{label}"] = {
+                "seconds_per_chain": round(dt, 3),
+                "denoise_steps_per_sec": round(100 / dt, 1)}
+            print("tvq", label,
+                  results[f"transformer_vqdiff_sampling_b16_{label}"],
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — surface lowering failures
+            results[f"transformer_vqdiff_sampling_b16_{label}"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]}
+            print("tvq", label, "FAILED:",
+                  results[f"transformer_vqdiff_sampling_b16_{label}"]["error"],
+                  flush=True)
 
     # 4: KV-cached AR sampling -------------------------------------------------
     from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens

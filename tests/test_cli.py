@@ -35,7 +35,15 @@ def tiny_yaml(tmp_path_factory):
 
 
 def test_train_cli_debug_contract(tiny_yaml):
-    import train as train_cli
+    # load by explicit path: a bare `import train` is vulnerable to sys.path
+    # pollution (the torch-parity tests put /root/reference on the path,
+    # which also has a train.py)
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "repo_train_cli", os.path.join(root, "train.py"))
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
 
     rc = train_cli.main(["--config", tiny_yaml, "--debug", "--seed", "1",
                          "--platform", "cpu"])

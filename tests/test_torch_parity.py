@@ -18,7 +18,11 @@ REF = "/root/reference"
 torch = pytest.importorskip("torch")
 if not os.path.isdir(REF):
     pytest.skip("reference repo not mounted", allow_module_level=True)
-sys.path.insert(0, REF)
+# append, not insert(0): the reference repo has top-level train.py /
+# generate.py / vq_diffusion.py that would shadow this repo's CLI modules
+# for every test collected after this one (only `network.*` is needed here,
+# which has no repo-root counterpart)
+sys.path.append(REF)
 
 import jax
 import jax.numpy as jnp

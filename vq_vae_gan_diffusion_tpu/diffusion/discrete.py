@@ -129,6 +129,11 @@ class DiscreteDiffusion:
         self.num_timesteps = timesteps
         self.sampling_timesteps = sampling_timesteps or timesteps
         self.model_fn = model_fn
+        self.model_fn_idx = None        # optional indices→logits binding
+        # False | True | "interpret": fuse posterior+gumbel-sample into one
+        # Pallas launch per reverse step (ops/discrete_posterior_pallas.py);
+        # token-identical to the XLA path (same rng stream)
+        self.fused_posterior = False
         self.auxiliary_loss_weight = auxiliary_loss_weight
         self.adaptive_auxiliary_loss = adaptive_auxiliary_loss
         self.mask_weight = mask_weight
@@ -159,13 +164,27 @@ class DiscreteDiffusion:
         return jnp.concatenate([probs_nonmask, probs_mask], axis=-1)
 
     # -- model wrapper ---------------------------------------------------------
-    def predict_start(self, log_x_t: jax.Array, t: jax.Array) -> jax.Array:
-        """p(x0|xt): model logits → clamped log-probs with −70 mask pad."""
-        out = self.model_fn(log_x_t, t)                       # [B, N, K-1]
+    def _log_pred_from_logits(self, out: jax.Array) -> jax.Array:
+        """model logits [B, N, K-1] → clamped log-probs with mask pad."""
         log_pred = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
         pad = jnp.full(log_pred.shape[:-1] + (1,), self.mask_logit_pad, jnp.float32)
         log_pred = jnp.concatenate([log_pred, pad], axis=-1)
         return jnp.clip(log_pred, LOG_EPS, 0.0)
+
+    def predict_start(self, log_x_t: jax.Array, t: jax.Array) -> jax.Array:
+        """p(x0|xt): model logits → clamped log-probs with −70 mask pad."""
+        return self._log_pred_from_logits(self.model_fn(log_x_t, t))
+
+    def predict_start_idx(self, x_idx: jax.Array, t: jax.Array) -> jax.Array:
+        """:meth:`predict_start` from an index carry. Uses ``model_fn_idx``
+        (indices → logits) when bound — e.g. the TransformerPredictor embeds
+        indices, so the dense one-hot round trip is pure waste — otherwise
+        materializes the log-onehot once for dense-input models (conv U-Nets
+        consume log_x_t itself, reference diffusion_vq_official.py:223)."""
+        if self.model_fn_idx is not None:
+            return self._log_pred_from_logits(self.model_fn_idx(x_idx, t))
+        log_x = index_to_log_onehot(x_idx, self.num_classes)
+        return self.predict_start(log_x, t)
 
     def q_posterior(self, log_x_start: jax.Array, log_x_t: jax.Array,
                     t: jax.Array) -> jax.Array:
@@ -245,9 +264,34 @@ class DiscreteDiffusion:
 
     def p_pred_idx(self, x_idx: jax.Array, t: jax.Array) -> jax.Array:
         """:meth:`p_pred` on an index carry (reverse-sampler steps ≥ 1)."""
-        log_x = index_to_log_onehot(x_idx, self.num_classes)
-        log_x_recon = self.predict_start(log_x, t)
-        return self.q_posterior_idx(log_x_recon, x_idx, t)
+        return self.q_posterior_idx(self.predict_start_idx(x_idx, t), x_idx, t)
+
+    def _raw_logits_idx(self, x_idx: jax.Array, t: jax.Array) -> jax.Array:
+        """Denoiser logits [B, N, K-1] from an index carry (pre-softmax)."""
+        if self.model_fn_idx is not None:
+            return self.model_fn_idx(x_idx, t)
+        return self.model_fn(index_to_log_onehot(x_idx, self.num_classes), t)
+
+    def _step_idx(self, rng: jax.Array, z_idx: jax.Array, t: jax.Array,
+                  t_post: jax.Array) -> jax.Array:
+        """One structured reverse step: p_pred at (t → posterior t_post) +
+        categorical sample. Routes to the fused Pallas kernel when
+        ``fused_posterior`` is set (token-identical, same rng stream)."""
+        if self.fused_posterior:
+            from ..ops.discrete_posterior_pallas import (
+                fused_posterior_sample, gather_posterior_coefs)
+            logits = self._raw_logits_idx(z_idx, t)
+            b, n = z_idx.shape
+            u = jax.random.uniform(rng, (b, n, self.num_classes))
+            gumbel = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
+            coefs = gather_posterior_coefs(self.sched, t_post,
+                                           self.num_timesteps)
+            return fused_posterior_sample(
+                logits, z_idx, coefs, gumbel,
+                interpret=self.fused_posterior == "interpret")
+        log_x_recon = self.predict_start_idx(z_idx, t)
+        prob = self.q_posterior_idx(log_x_recon, z_idx, t_post)
+        return self.sample_categorical_idx(rng, prob)
 
     # -- sampling helpers ------------------------------------------------------
     def sample_categorical_idx(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
@@ -310,10 +354,9 @@ class DiscreteDiffusion:
 
         log_x_start = index_to_log_onehot(x0, self.num_classes)
         xt = self.sample_categorical_idx(rng_q, self.q_pred(log_x_start, t))
-        log_xt = index_to_log_onehot(xt, self.num_classes)
 
-        log_x0_recon = self.predict_start(log_xt, t)
-        # log_xt is an exact one-hot (q_sample output) → structured posterior
+        log_x0_recon = self.predict_start_idx(xt, t)
+        # xt is an exact one-hot sample → structured posterior
         log_model_prob = self.q_posterior_idx(log_x0_recon, xt, t)
 
         # telemetry EMAs (on-device scatter; replaces Python-list .cpu() loop)
@@ -389,7 +432,7 @@ class DiscreteDiffusion:
             z_idx, rng = carry
             rng, sub = jax.random.split(rng)
             t = jnp.full((batch_size,), i, jnp.int32)
-            z_idx = self.sample_categorical_idx(sub, self.p_pred_idx(z_idx, t))
+            z_idx = self._step_idx(sub, z_idx, t, t)
             return (z_idx, rng), (z_idx if return_all_timesteps else None)
 
         first_frame = z_idx
@@ -417,11 +460,8 @@ class DiscreteDiffusion:
             if dense:
                 log_x_recon = self.predict_start(log_z_or_idx, t)
                 prob = self.q_posterior(log_x_recon, log_z_or_idx, t_post)
-            else:
-                log_x = index_to_log_onehot(log_z_or_idx, self.num_classes)
-                log_x_recon = self.predict_start(log_x, t)
-                prob = self.q_posterior_idx(log_x_recon, log_z_or_idx, t_post)
-            return self.sample_categorical_idx(sub, prob)
+                return self.sample_categorical_idx(sub, prob)
+            return self._step_idx(sub, log_z_or_idx, t, t_post)
 
         # dense chain-init step, then structured one-hot steps (see sample())
         rng_loop, sub0 = jax.random.split(rng_loop)

@@ -100,7 +100,8 @@ class TransformerVQDiffusion:
                  diffusion_steps: int = 100, embedding_dim: int = 64,
                  num_layers: int = 4, num_heads: int = 4,
                  truncation_rate: float = 0.86,
-                 use_text_condition: bool = False, dtype=jnp.float32):
+                 use_text_condition: bool = False, dtype=jnp.float32,
+                 fused_posterior=False):
         self.num_classes = codebook_size + 1
         self.seq_len = seq_len
         self.predictor = TransformerPredictor(
@@ -116,13 +117,24 @@ class TransformerVQDiffusion:
             mask_weight=(1.5, 1.0), ctt_T=0.9, mask_logit_pad=-30.0,
             chain_init="prior", use_importance_sampling=False,
             truncation_rate=truncation_rate)
+        # per-step fused posterior+sample kernel for the plain sampler
+        # (fast_sample's truncated top-r gumbel stays on the XLA path)
+        self.diffusion.fused_posterior = fused_posterior
 
     def _bind(self, params, cond_emb=None, rngs=None):
-        def model_fn(log_x_t, t):
-            indices = log_onehot_to_index(log_x_t)
+        """Sets BOTH diffusion bindings: the dense model_fn (used by the
+        chain-init step, whose carry is not a one-hot) and the index-native
+        model_fn_idx (the predictor embeds indices — the dense one-hot round
+        trip is skipped on every structured-carry step)."""
+        def model_fn_idx(indices, t):
             return self.predictor.apply({"params": params}, indices, t, cond_emb,
                                         deterministic=rngs is None,
                                         rngs=rngs or {})
+
+        def model_fn(log_x_t, t):
+            return model_fn_idx(log_onehot_to_index(log_x_t), t)
+
+        self.diffusion.model_fn_idx = model_fn_idx
         return model_fn
 
     def encode_text(self, texts) -> Optional[jax.Array]:

@@ -73,6 +73,9 @@ class VQDiffusionComposite:
             self.prior = DiscreteDiffusion(
                 num_classes=K, seq_len=N, timesteps=self.timesteps,
                 sampling_timesteps=self.sampling_timesteps)
+            # fuse posterior+gumbel-sample into one Pallas launch per reverse
+            # step (ops/discrete_posterior_pallas.py; token-identical)
+            self.prior.fused_posterior = dcfg.get("fused_posterior", False)
         elif self.diffusion_type == "gaussiandiffusion2d":
             if self.indices_to_dist_fn == "one_hot":
                 ch = K if self.distribute_dim == 1 else N

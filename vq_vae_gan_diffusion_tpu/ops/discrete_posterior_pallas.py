@@ -1,0 +1,140 @@
+"""Fused Pallas TPU kernel: discrete VQ-diffusion reverse-sampler step.
+
+One launch computes, per reverse step, everything between the denoiser's raw
+logits and the sampled token indices (reference
+diffusion_vq_official.py:210-304):
+
+    log_softmax + mask-pad clamp (predict_start)
+    → q_posterior on the one-hot carry (structured form, see
+      :meth:`..diffusion.discrete.DiscreteDiffusion.q_posterior_idx`)
+    → Gumbel-argmax categorical sample.
+
+The XLA path makes ~10 K-wide [B, N, K] HBM passes per step (softmax,
+posterior normalize, q_pred chains, gumbel add, argmax); here the only HBM
+traffic is the logits read, the gumbel-noise read, and the [B, N] index
+write — everything else stays in VMEM. For the TransformerPredictor prior
+(tiny denoiser, K = 1025) the posterior math dominates the chain, so this is
+the sampler's roofline fix.
+
+Exact token parity with the XLA path: the gumbel tensor is generated outside
+with the same key/shape as ``sample_categorical_idx``, and tie-breaking
+matches ``jnp.argmax`` (first max wins; the mask class is the last column).
+
+Grid is (B,): one program per batch row holds the full [N, K] tile in VMEM
+(N ≤ 512 everywhere in this framework; guarded in the wrapper).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG_EPS = -70.0
+_LZ = float(np.log(1e-30))
+
+
+def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref):
+    lf = logits_ref[0].astype(jnp.float32)                 # [N, K-1]
+    n, km1 = lf.shape
+
+    # predict_start post-processing (reference :237-246)
+    m = jnp.max(lf, axis=1, keepdims=True)
+    lse_m = m + jnp.log(jnp.sum(jnp.exp(lf - m), axis=1, keepdims=True))
+    log_x0 = jnp.clip(lf - lse_m, LOG_EPS, 0.0)
+    # (predict_start's mask-pad column is dropped by the posterior's
+    # q = log_x0[..., :-1] - log_qt and never reaches the sample)
+
+    xt = xt_ref[0]                                         # [N, 1] int32
+    is_mask = xt == km1                                    # [N, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, km1), 1)
+    at_col = (cols == xt) & jnp.logical_not(is_mask)       # [N, K-1]
+
+    c = lambda i: coef_ref[0, i]
+    log_att, log_btt, log_ctt = c(0), c(1), c(2)
+    log_at, log_bt, log_ct = c(3), c(4), c(5)
+    log_att_m1, log_btt_m1 = c(6), c(7)
+    log_ctt_m1, log_1mctt_m1 = c(8), c(9)
+    log_att_btt = jnp.logaddexp(log_att, log_btt)
+    log_at_bt = jnp.logaddexp(log_at, log_bt)
+
+    # q_pred(onehot x_t, t)[..., :-1]; masked rows := log ctt̄
+    log_qt = jnp.where(at_col, log_att_btt,
+                       jnp.where(is_mask, log_ctt, log_btt))
+    q_nm = log_x0 - log_qt                                 # [N, K-1]
+    # logsumexp over [q_nm | log 1e-30]
+    m2 = jnp.maximum(jnp.max(q_nm, axis=1, keepdims=True), _LZ)
+    s = jnp.sum(jnp.exp(q_nm - m2), axis=1, keepdims=True) + jnp.exp(_LZ - m2)
+    q_lse = m2 + jnp.log(s)                                # [N, 1]
+    qn = q_nm - q_lse
+    qn_last = _LZ - q_lse                                  # [N, 1]
+
+    # q_pred(qn, t-1)
+    qp_nm = jnp.logaddexp(qn + log_att_m1, log_btt_m1)
+    qp_last = jnp.logaddexp(qn_last + log_1mctt_m1, log_ctt_m1)
+
+    # q_pred_one_timestep(onehot x_t, t): last col := log 1e-30,
+    # masked rows := [log ct, ..., log ct, 0]
+    qt1_nm = jnp.where(at_col, log_at_bt, jnp.where(is_mask, log_ct, log_bt))
+    qt1_last = jnp.where(is_mask, 0.0, _LZ)
+
+    ev_nm = jnp.clip(qp_nm + qt1_nm + q_lse, LOG_EPS, 0.0)
+    ev_last = jnp.clip(qp_last + qt1_last + q_lse, LOG_EPS, 0.0)
+
+    g = gumbel_ref[0]                                      # [N, K]
+    score = ev_nm + g[:, :km1]
+    score_last = ev_last + g[:, km1:]
+    best = jnp.argmax(score, axis=1, keepdims=True)        # [N, 1]
+    best_v = jnp.max(score, axis=1, keepdims=True)
+    # dense argmax tie-break: first max wins, and the mask class is last
+    out_ref[0] = jnp.where(score_last > best_v, km1, best).astype(jnp.int32)
+
+
+def gather_posterior_coefs(sched, t_post: jax.Array,
+                           num_timesteps: int) -> jax.Array:
+    """[B] timesteps → [B, 10] per-row schedule scalars (t and t−1, with the
+    reference's (t+T+1) mod (T+1) wraparound for t−1, :175-208)."""
+    tm1 = (t_post - 1 + num_timesteps + 1) % (num_timesteps + 1)
+    return jnp.stack([
+        sched.log_cumprod_at[t_post], sched.log_cumprod_bt[t_post],
+        sched.log_cumprod_ct[t_post],
+        sched.log_at[t_post], sched.log_bt[t_post], sched.log_ct[t_post],
+        sched.log_cumprod_at[tm1], sched.log_cumprod_bt[tm1],
+        sched.log_cumprod_ct[tm1], sched.log_1_min_cumprod_ct[tm1],
+    ], axis=1).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_posterior_sample(logits: jax.Array, x_t: jax.Array,
+                           coefs: jax.Array, gumbel: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """One reverse step: raw denoiser logits [B, N, K-1], one-hot carry
+    indices [B, N], coefs from :func:`gather_posterior_coefs`, gumbel noise
+    [B, N, K] → sampled indices [B, N] int32."""
+    b, n, km1 = logits.shape
+    k = km1 + 1
+    assert n * k * 8 <= 8 * 2 ** 20, "row tile too large for VMEM; use XLA path"
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, km1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
+        interpret=interpret,
+    )(logits, x_t[..., None].astype(jnp.int32),
+      jnp.pad(coefs, ((0, 0), (0, 16 - coefs.shape[1]))), gumbel)
+    return out[..., 0]
