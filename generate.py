@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                         choices=["on", "off", "pallas", "packed", "chain"],
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
+    parser.add_argument("--fused-posterior", type=str, default=None,
+                        choices=["on", "off", "interpret"],
+                        help="override architecture.vqdiffusion.fused_posterior "
+                             "(fused per-step posterior+sample Pallas kernel "
+                             "for the discrete prior)")
     parser.add_argument("--platform", type=str, default=None,
                         choices=["cpu", "tpu"],
                         help="force a JAX backend (the axon TPU plugin ignores "
@@ -69,6 +74,13 @@ def main(argv=None) -> int:
         if "vqdiffusion" in config.architecture:
             config = config.replace_path(
                 "architecture.vqdiffusion.fused_sampler", val)
+
+    if args.fused_posterior is not None:
+        val = {"on": True, "off": False}.get(args.fused_posterior,
+                                             args.fused_posterior)
+        if "vqdiffusion" in config.architecture:
+            config = config.replace_path(
+                "architecture.vqdiffusion.fused_posterior", val)
 
     run_dir = create_run_dir(str(config.trainer.log_dir), dataset_name,
                              f"{model_name}_generate", args.config)
