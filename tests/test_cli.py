@@ -66,3 +66,38 @@ def test_train_cli_debug_contract(tiny_yaml):
     assert os.path.exists(metrics)
     lines = [json.loads(l) for l in open(metrics) if l.strip()]
     assert lines, "no metrics logged"
+
+    # generation CLI against the checkpoint the training run just wrote
+    # (reference generate.py:31-208 flow: build model, load, sample grids)
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "repo_generate_cli", os.path.join(root, "generate.py"))
+    gen_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_cli)
+    ckpt = os.path.join(run, "ckpt")
+    assert os.path.isdir(ckpt), "training run left no checkpoint"
+    rc = gen_cli.main(["--config", tiny_yaml, "--ckpt", ckpt,
+                       "--n-samples", "4", "--platform", "cpu"])
+    assert rc == 0
+    gruns = sorted(glob.glob(os.path.join(log_dir, "*", "vqvae_generate",
+                                          "run_*")))
+    assert gruns, "generate run dir not created"
+    arts = [f for f in os.listdir(gruns[-1])
+            if f.endswith((".jpg", ".png", ".gif"))]
+    assert arts, "no image artifacts generated"
+
+
+def test_fused_posterior_config_plumbing():
+    """--fused-posterior → architecture.vqdiffusion.fused_posterior →
+    DiscreteDiffusion.fused_posterior (composite wiring)."""
+    import tests.conftest as c
+    from vq_vae_gan_diffusion_tpu.models.vq_diffusion_composite import (
+        VQDiffusionComposite)
+    cfg = c.tiny_config.__wrapped__()
+    cfg = cfg.replace_path("architecture.model_name", "vqdiffusion")
+    cfg = cfg.replace_path("architecture.vqdiffusion.diffusion_type",
+                           "VQ_Official")
+    cfg = cfg.replace_path("architecture.vqdiffusion.fused_posterior", True)
+    comp = VQDiffusionComposite(cfg)
+    assert comp.prior.fused_posterior is True
