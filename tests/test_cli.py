@@ -88,6 +88,36 @@ def test_train_cli_debug_contract(tiny_yaml):
     assert arts, "no image artifacts generated"
 
 
+def _load_cli(name):
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"repo_{name}_cli", os.path.join(root, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_train_diffusion_cli_debug(tmp_path):
+    """Standalone pixel-diffusion CLI (reference train_diffusion.py)."""
+    mod = _load_cli("train_diffusion")
+    rc = mod.main(["--debug", "--epochs", "1", "--timesteps", "8",
+                   "--sampling-timesteps", "4", "--dim", "16",
+                   "--img-size", "16", "--data-root",
+                   str(tmp_path / "nodata"), "--log-dir", str(tmp_path),
+                   "--platform", "cpu"])
+    assert rc == 0
+
+
+def test_vq_diffusion_cli_smoke(tmp_path):
+    """Educational VQ-diffusion CLI (reference root vq_diffusion.py, which
+    had `__main__: pass` — here it actually runs)."""
+    mod = _load_cli("vq_diffusion")
+    rc = mod.main(["--steps", "2", "--diffusion-steps", "4",
+                   "--platform", "cpu"])
+    assert rc == 0
+
+
 def test_fused_posterior_config_plumbing():
     """--fused-posterior → architecture.vqdiffusion.fused_posterior →
     DiscreteDiffusion.fused_posterior (composite wiring)."""
