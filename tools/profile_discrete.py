@@ -101,5 +101,53 @@ def run_transformer(codebook_size=1024, seq_len=256, embedding_dim=512,
     d.fused_posterior = False
 
 
+def run_vq_official(fused_sampler="on", fused_mode=True):
+    """ShuffleNet-prior chain (mnist config shape: K=1024 classes over the
+    [K, N=49] log-onehot image). The U-Net consumes the dense one-hot, so
+    model_only includes that materialization."""
+    from vq_vae_gan_diffusion_tpu.config import load_config
+    from vq_vae_gan_diffusion_tpu.models.vq_diffusion_composite import (
+        VQDiffusionComposite)
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "training_config_mnist.yml"))
+    cfg = cfg.replace_path("architecture.model_name", "vqdiffusion")
+    cfg = cfg.replace_path("architecture.vqdiffusion.diffusion_type",
+                           "VQ_Official")
+    cfg = cfg.replace_path("architecture.vqdiffusion.fused_sampler",
+                           {"on": True, "off": False}.get(fused_sampler,
+                                                          fused_sampler))
+    comp = VQDiffusionComposite(cfg, dtype=jnp.bfloat16)
+    print(f"== VQ_Official ShuffleNet prior (K={comp.prior.num_classes}, "
+          f"N={comp.seq_len}, B={B}, fused_sampler={fused_sampler}) ==",
+          flush=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        uvars = comp.unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, comp.prior.num_classes, comp.seq_len, 1)), None,
+            jnp.zeros((1,), jnp.int32), train=False)
+    uvars = jax.device_put(uvars, jax.devices()[0])
+    d = comp.prior
+    d.model_fn = comp._bind(uvars["params"], uvars.get("batch_stats", {}),
+                            train=False)
+    z0 = jnp.zeros((B, comp.seq_len), jnp.int32)
+
+    def t_of(i):
+        return jnp.full((B,), i, jnp.int32)
+
+    n_steps = min(STEPS, d.sampling_timesteps)
+    timeit("full_xla", lambda z, sub, i: d._step_idx(sub, z, t_of(i), t_of(i)),
+           z0, n_iters=n_steps, reps=1)
+    timeit("model_only",
+           lambda z, sub, i: jnp.argmax(
+               d._raw_logits_idx(z, t_of(i)), -1).astype(jnp.int32),
+           z0, n_iters=n_steps, reps=1)
+    d.fused_posterior = fused_mode
+    timeit("full_fused",
+           lambda z, sub, i: d._step_idx(sub, z, t_of(i), t_of(i)), z0,
+           n_iters=n_steps, reps=1)
+    d.fused_posterior = False
+
+
 if __name__ == "__main__":
     run_transformer()
+    run_vq_official()
