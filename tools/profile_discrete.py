@@ -33,22 +33,26 @@ STEPS = 100
 B = 16
 
 
-def timeit(tag, build_body, z0, n_iters=STEPS, reps=3):
-    def chain():
+def timeit(tag, build_body, z0, n_iters=STEPS, reps=3, aux=None):
+    """build_body(z, sub, i[, aux]) -> z'. ``aux`` (e.g. frozen logits) is
+    threaded as a jit ARGUMENT — closing over a large array would inline it
+    as an XLA constant (CLAUDE.md gotcha: bloats programs, defeats caching)."""
+    def chain(aux_arg):
         def body(carry, i):
             z, rng = carry
             rng, sub = jax.random.split(rng)
-            return (build_body(z, sub, i), rng), None
+            args = (z, sub, i) if aux_arg is None else (z, sub, i, aux_arg)
+            return (build_body(*args), rng), None
         (z, _), _ = jax.lax.scan(
             body, (z0, jax.random.PRNGKey(1)),
             jnp.arange(n_iters - 1, -1, -1, dtype=jnp.int32))
         return z
     f = jax.jit(chain)
-    np.asarray(f())  # compile + warm
-    np.asarray(f())  # second warm (committed-sharding recompile)
+    np.asarray(f(aux))  # compile + warm
+    np.asarray(f(aux))  # second warm (committed-sharding recompile)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = f()
+        out = f(aux)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{tag:>12}: {dt*1e3:8.1f} ms/chain  "
@@ -72,7 +76,8 @@ def run_transformer(codebook_size=1024, seq_len=256, embedding_dim=512,
                                     jnp.zeros((1,), jnp.int32))["params"]
     params = jax.device_put(params, jax.devices()[0])
     d = tvq.diffusion
-    tvq._bind(params)  # sets d.model_fn / d.model_fn_idx
+    # _bind sets d.model_fn_idx and RETURNS the dense model_fn
+    d.model_fn = tvq._bind(params)
     z0 = jnp.zeros((B, seq_len), jnp.int32)
 
     def t_of(i):
@@ -86,14 +91,14 @@ def run_transformer(codebook_size=1024, seq_len=256, embedding_dim=512,
 
     frozen = d._raw_logits_idx(z0, t_of(0))
 
-    def post_only(z, sub, i):
+    def post_only(z, sub, i, logits):
         # perturb by the carry so XLA can't hoist the posterior out of the scan
         log_x0 = d._log_pred_from_logits(
-            frozen + 1e-20 * z[:, :1, None].astype(jnp.float32))
+            logits + 1e-20 * z[:, :1, None].astype(jnp.float32))
         ev = d.q_posterior_idx(log_x0, z, t_of(i))
         return d.sample_categorical_idx(sub, ev)
 
-    timeit("post_only", post_only, z0)
+    timeit("post_only", post_only, z0, aux=frozen)
 
     d.fused_posterior = fused_mode
     timeit("full_fused",

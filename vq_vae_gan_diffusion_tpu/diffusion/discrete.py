@@ -279,26 +279,33 @@ class DiscreteDiffusion:
         ``fused_posterior`` is set (token-identical, same rng stream)."""
         if self.fused_posterior:
             from ..ops.discrete_posterior_pallas import (
-                fused_posterior_sample, gather_posterior_coefs)
-            logits = self._raw_logits_idx(z_idx, t)
+                fits_vmem, fused_posterior_sample, gather_posterior_coefs)
             b, n = z_idx.shape
-            u = jax.random.uniform(rng, (b, n, self.num_classes))
-            gumbel = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
-            coefs = gather_posterior_coefs(self.sched, t_post,
-                                           self.num_timesteps)
-            return fused_posterior_sample(
-                logits, z_idx, coefs, gumbel,
-                interpret=self.fused_posterior == "interpret")
+            if fits_vmem(n, self.num_classes):
+                logits = self._raw_logits_idx(z_idx, t)
+                gumbel = self._gumbel(rng, (b, n, self.num_classes))
+                coefs = gather_posterior_coefs(self.sched, t_post,
+                                               self.num_timesteps)
+                return fused_posterior_sample(
+                    logits, z_idx, coefs, gumbel,
+                    interpret=self.fused_posterior == "interpret")
+            # row tile too large for VMEM → XLA path (static shape check)
         log_x_recon = self.predict_start_idx(z_idx, t)
         prob = self.q_posterior_idx(log_x_recon, z_idx, t_post)
         return self.sample_categorical_idx(rng, prob)
 
     # -- sampling helpers ------------------------------------------------------
+    @staticmethod
+    def _gumbel(rng: jax.Array, shape) -> jax.Array:
+        """Gumbel noise (reference :299-304). Single definition: the fused
+        kernel's token-identical guarantee depends on bit-exact agreement
+        between the XLA and fused sampling paths."""
+        uniform = jax.random.uniform(rng, shape)
+        return -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
+
     def sample_categorical_idx(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
         """Gumbel-argmax sample, returned as indices (reference :299-304)."""
-        uniform = jax.random.uniform(rng, logits.shape)
-        gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
-        return jnp.argmax(gumbel + logits, axis=-1)
+        return jnp.argmax(self._gumbel(rng, logits.shape) + logits, axis=-1)
 
     def log_sample_categorical(self, rng: jax.Array, logits: jax.Array) -> jax.Array:
         sample = self.sample_categorical_idx(rng, logits)
@@ -311,9 +318,7 @@ class DiscreteDiffusion:
         k = max(int(self.num_classes * r), 1)
         kth = jax.lax.top_k(logits, k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
-        uniform = jax.random.uniform(rng, logits.shape)
-        gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
-        return jnp.argmax(gumbel + logits, axis=-1)
+        return jnp.argmax(self._gumbel(rng, logits.shape) + logits, axis=-1)
 
     def log_sample_categorical_truncated(self, rng: jax.Array,
                                          logits: jax.Array) -> jax.Array:

@@ -108,6 +108,19 @@ def gather_posterior_coefs(sched, t_post: jax.Array,
     ], axis=1).astype(jnp.float32)
 
 
+# VMEM budget: the body keeps ~12 live [N, K]-wide f32 arrays (inputs,
+# log_x0/q_nm/qn chain, q_pred pieces, score) plus double-buffered input
+# blocks. v5e has 128 MB physical; we raise the compiler's 16 MB default to
+# 64 MB and admit shapes whose worst-case footprint fits with headroom.
+_VMEM_LIMIT = 64 * 2 ** 20
+_LIVE_ARRAYS = 16  # conservative: 12 live + double-buffered in/out blocks
+
+
+def fits_vmem(n: int, k: int) -> bool:
+    """True if one batch-row tile of the fused kernel fits the VMEM budget."""
+    return n * k * 4 * _LIVE_ARRAYS <= _VMEM_LIMIT
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_posterior_sample(logits: jax.Array, x_t: jax.Array,
                            coefs: jax.Array, gumbel: jax.Array,
@@ -117,10 +130,11 @@ def fused_posterior_sample(logits: jax.Array, x_t: jax.Array,
     [B, N, K] → sampled indices [B, N] int32."""
     b, n, km1 = logits.shape
     k = km1 + 1
-    assert n * k * 8 <= 8 * 2 ** 20, "row tile too large for VMEM; use XLA path"
+    assert fits_vmem(n, k), "row tile too large for VMEM; use the XLA path"
     out = pl.pallas_call(
         _kernel,
         grid=(b,),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[
             pl.BlockSpec((1, n, km1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
