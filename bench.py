@@ -104,11 +104,25 @@ def main() -> int:
         tf = _wait_for_healthy_device()
         if tf == 0.0:
             # the tunnel never answered a single probe: importing jax here
-            # would hang the driver — report the outage instead
+            # would hang the driver — report the outage, carrying the last
+            # measured value (clearly labeled) so the record isn't a bare 0
+            last = {}
+            try:
+                import re
+                txt = open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCHMARKS.md")).read()
+                m = re.search(r'"images_per_sec":\s*([0-9.]+)', txt)
+                if m:
+                    last = {"last_measured_images_per_sec": float(m.group(1)),
+                            "last_measured_note":
+                                "from BENCHMARKS.md (pre-outage run)"}
+            except OSError:
+                pass
             print(json.dumps({
                 "metric": "vqgan_mnist_train_images_per_sec_per_chip",
                 "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
-                "error": "tpu tunnel unreachable for the whole wait window"}))
+                "error": "tpu tunnel unreachable for the whole wait window",
+                **last}))
             return 1
 
     import jax
