@@ -57,6 +57,54 @@ def test_fused_sampler_end_to_end_token_parity():
         np.asarray(d.sample_fast(rng, batch_size=2, skip_step=2)), base_fast)
 
 
+@pytest.mark.parametrize("b,n,k,T,r", [(2, 16, 1025, 10, 0.86),
+                                       (2, 49, 257, 8, 0.5)])
+def test_fused_truncated_step_matches_xla(b, n, k, T, r):
+    """In-kernel radix-select top-r threshold ≡ jax.lax.top_k masking."""
+    d = DiscreteDiffusion(num_classes=k, seq_len=n, timesteps=T,
+                          truncation_rate=r)
+    r1, r2, r3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    logits = jax.random.normal(r1, (b, n, k - 1)) * 3.0
+    x_t = jax.random.randint(r2, (b, n), 0, k)
+    u = jax.random.uniform(r3, (b, n, k))
+    gumbel = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
+    trunc_k = max(int(k * r), 1)
+    for t_val in (0, T - 1):
+        t = jnp.full((b,), t_val, jnp.int32)
+        coefs = gather_posterior_coefs(d.sched, t, d.num_timesteps)
+        got = fused_posterior_sample(logits, x_t, coefs, gumbel,
+                                     interpret=True, trunc_k=trunc_k)
+        # XLA reference: posterior → top-k mask → gumbel argmax
+        ev = d.q_posterior_idx(d._log_pred_from_logits(logits), x_t, t)
+        kth = jax.lax.top_k(ev, trunc_k)[0][..., -1:]
+        masked = jnp.where(ev < kth, -jnp.inf, ev)
+        ref = jnp.argmax(gumbel + masked, axis=-1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_fast_sample_truncated_token_parity():
+    """End-to-end transformer-style truncated chain, fused vs XLA."""
+    K, N, T = 129, 16, 6
+    d = DiscreteDiffusion(num_classes=K, seq_len=N, timesteps=T,
+                          truncation_rate=0.7, chain_init="prior")
+    W = jax.random.normal(jax.random.PRNGKey(2), (K, K - 1))
+    d.model_fn_idx = lambda idx, t: W[idx] * 0.5
+    d.model_fn = lambda log_x, t: d.model_fn_idx(jnp.argmax(log_x, -1), t)
+
+    def chain(fused):
+        d.fused_posterior = "interpret" if fused else False
+        rng = jax.random.PRNGKey(11)
+        z = jnp.zeros((2, N), jnp.int32)
+        for i in range(T - 1, -1, -1):
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((2,), i, jnp.int32)
+            z = d._step_idx(sub, z, t, t, truncated=True)
+        d.fused_posterior = False
+        return np.asarray(z)
+
+    np.testing.assert_array_equal(chain(True), chain(False))
+
+
 def test_fused_sampler_with_index_native_model():
     """model_fn_idx binding (TransformerPredictor-style) + fused kernel."""
     K, N, T = 65, 8, 5

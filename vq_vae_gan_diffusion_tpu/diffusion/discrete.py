@@ -273,25 +273,32 @@ class DiscreteDiffusion:
         return self.model_fn(index_to_log_onehot(x_idx, self.num_classes), t)
 
     def _step_idx(self, rng: jax.Array, z_idx: jax.Array, t: jax.Array,
-                  t_post: jax.Array) -> jax.Array:
+                  t_post: jax.Array, truncated: bool = False) -> jax.Array:
         """One structured reverse step: p_pred at (t → posterior t_post) +
-        categorical sample. Routes to the fused Pallas kernel when
+        categorical sample (plain gumbel, or truncated top-r when
+        ``truncated``). Routes to the fused Pallas kernel when
         ``fused_posterior`` is set (token-identical, same rng stream)."""
         if self.fused_posterior:
             from ..ops.discrete_posterior_pallas import (
                 fits_vmem, fused_posterior_sample, gather_posterior_coefs)
             b, n = z_idx.shape
             if fits_vmem(n, self.num_classes):
+                trunc_k = (max(int(self.num_classes *
+                                   (self.truncation_rate or 0.86)), 1)
+                           if truncated else 0)
                 logits = self._raw_logits_idx(z_idx, t)
                 gumbel = self._gumbel(rng, (b, n, self.num_classes))
                 coefs = gather_posterior_coefs(self.sched, t_post,
                                                self.num_timesteps)
                 return fused_posterior_sample(
                     logits, z_idx, coefs, gumbel,
-                    interpret=self.fused_posterior == "interpret")
+                    interpret=self.fused_posterior == "interpret",
+                    trunc_k=trunc_k)
             # row tile too large for VMEM → XLA path (static shape check)
         log_x_recon = self.predict_start_idx(z_idx, t)
         prob = self.q_posterior_idx(log_x_recon, z_idx, t_post)
+        if truncated:
+            return self.sample_categorical_truncated_idx(rng, prob)
         return self.sample_categorical_idx(rng, prob)
 
     # -- sampling helpers ------------------------------------------------------

@@ -117,8 +117,8 @@ class TransformerVQDiffusion:
             mask_weight=(1.5, 1.0), ctt_T=0.9, mask_logit_pad=-30.0,
             chain_init="prior", use_importance_sampling=False,
             truncation_rate=truncation_rate)
-        # per-step fused posterior+sample kernel for the plain sampler
-        # (fast_sample's truncated top-r gumbel stays on the XLA path)
+        # per-step fused posterior+sample kernel for both samplers (the
+        # truncated top-r threshold is an exact in-kernel radix select)
         self.diffusion.fused_posterior = fused_posterior
 
     def _bind(self, params, cond_emb=None, rngs=None):
@@ -182,7 +182,7 @@ class TransformerVQDiffusion:
             z_idx, rng = carry
             rng, sub = jax.random.split(rng)
             t = jnp.full((num_samples,), i, jnp.int32)
-            z_idx = d.sample_categorical_truncated_idx(sub, d.p_pred_idx(z_idx, t))
+            z_idx = d._step_idx(sub, z_idx, t, t, truncated=True)
             return (z_idx, rng), None
 
         (z_idx, _), _ = jax.lax.scan(body, (z_idx, rng_loop),

@@ -38,7 +38,45 @@ LOG_EPS = -70.0
 _LZ = float(np.log(1e-30))
 
 
-def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref):
+def _monotone_key(x):
+    """f32 → uint32 order-preserving key (for exact in-kernel top-k).
+
+    ``x + 0.0`` first maps −0.0 → +0.0 so the key order matches float
+    comparison at zero; then the standard sign-flip trick: negative floats
+    get all bits flipped, positives get the sign bit set.
+    """
+    u = jax.lax.bitcast_convert_type(x + 0.0, jnp.uint32)
+    neg = (u >> 31) == 1
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+
+def _kth_largest_key(key_nm, key_last, k: int):
+    """Exact k-th largest uint32 key per row over [key_nm | key_last]
+    (radix select, MSB→LSB, 32 unrolled steps). Returns [N, 1] uint32.
+
+    Mirrors ``jax.lax.top_k(logits, k)[0][..., -1]`` without sorting: at
+    each bit, count candidates that match the chosen prefix and have the
+    bit set; descend into that half iff it still holds the k-th element.
+    """
+    n = key_nm.shape[0]
+    p = jnp.zeros((n, 1), jnp.uint32)
+    kk = jnp.full((n, 1), k, jnp.int32)
+    for i in range(31, -1, -1):
+        hi = jnp.uint32((0xFFFFFFFF << (i + 1)) & 0xFFFFFFFF) if i < 31 \
+            else jnp.uint32(0)
+        bit = jnp.uint32(1 << i)
+        cand_nm = ((key_nm & hi) == p) & ((key_nm & bit) != 0)
+        cand_last = ((key_last & hi) == p) & ((key_last & bit) != 0)
+        c1 = (jnp.sum(cand_nm.astype(jnp.int32), axis=1, keepdims=True)
+              + jnp.sum(cand_last.astype(jnp.int32), axis=1, keepdims=True))
+        take1 = kk <= c1
+        p = jnp.where(take1, p | bit, p)
+        kk = jnp.where(take1, kk, kk - c1)
+    return p
+
+
+def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref, *,
+            trunc_k: int = 0):
     lf = logits_ref[0].astype(jnp.float32)                 # [N, K-1]
     n, km1 = lf.shape
 
@@ -88,6 +126,19 @@ def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref):
     g = gumbel_ref[0]                                      # [N, K]
     score = ev_nm + g[:, :km1]
     score_last = ev_last + g[:, km1:]
+
+    if trunc_k:
+        # truncated top-r sampling (reference vq_diffusion.py:291-304):
+        # keep only the trunc_k largest posterior log-probs per row.
+        # Exact threshold via radix select on monotone keys — matches
+        # jax.lax.top_k's kth value bit-for-bit (ties at the threshold kept,
+        # as in the XLA path's `logits < kth` masking).
+        key_nm = _monotone_key(ev_nm)
+        key_last = _monotone_key(ev_last)
+        kth = _kth_largest_key(key_nm, key_last, trunc_k)  # [N, 1]
+        score = jnp.where(key_nm >= kth, score, -3e38)
+        score_last = jnp.where(key_last >= kth, score_last, -3e38)
+
     best = jnp.argmax(score, axis=1, keepdims=True)        # [N, 1]
     best_v = jnp.max(score, axis=1, keepdims=True)
     # dense argmax tie-break: first max wins, and the mask class is last
@@ -121,18 +172,20 @@ def fits_vmem(n: int, k: int) -> bool:
     return n * k * 4 * _LIVE_ARRAYS <= _VMEM_LIMIT
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "trunc_k"))
 def fused_posterior_sample(logits: jax.Array, x_t: jax.Array,
                            coefs: jax.Array, gumbel: jax.Array,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           trunc_k: int = 0) -> jax.Array:
     """One reverse step: raw denoiser logits [B, N, K-1], one-hot carry
     indices [B, N], coefs from :func:`gather_posterior_coefs`, gumbel noise
-    [B, N, K] → sampled indices [B, N] int32."""
+    [B, N, K] → sampled indices [B, N] int32. ``trunc_k > 0`` restricts the
+    sample to the trunc_k most probable classes (truncated top-r sampling)."""
     b, n, km1 = logits.shape
     k = km1 + 1
     assert fits_vmem(n, k), "row tile too large for VMEM; use the XLA path"
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, trunc_k=int(trunc_k)),
         grid=(b,),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[
