@@ -79,5 +79,25 @@ def main():
           f" -> {819e9 / v3:.0f} denoise steps/s roofline")
 
 
+def discrete_posterior():
+    """HBM-traffic model for one discrete reverse-sampler step (per-step
+    work between denoiser logits and sampled indices), XLA vs the fused
+    kernel (ops/discrete_posterior_pallas.py). Transformer-prior shape."""
+    B, N, K = 16, 256, 1025
+    s = B * N * K * 4                      # one K-wide f32 pass
+    # XLA (structured q_posterior_idx path): log_softmax (R+W ~3 passes),
+    # q construct+normalize (~3), q_pred(q,t-1) (~3), +log_qt_one/clip (~1),
+    # gumbel gen+add+argmax (~3)  => ~13 passes best-case after fusion ~8
+    xla = 8 * s
+    # fused kernel: logits read + gumbel read + index write
+    fused = 2 * s + B * N * 4
+    print(f"discrete posterior step B{B} N{N} K{K}:")
+    for name, v in (("xla (fused est.)", xla), ("pallas fused", fused)):
+        print(f"  {name:18s} {mb(v):8.2f} MB/step"
+              f"  @819GB/s -> {1e6 * v / 819e9:7.1f} us/step")
+    print(f"  predicted kernel speedup on the posterior part: {xla/fused:.1f}x")
+
+
 if __name__ == "__main__":
     main()
+    discrete_posterior()
