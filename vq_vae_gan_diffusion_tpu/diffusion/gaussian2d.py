@@ -121,7 +121,11 @@ class GaussianDiffusion2D:
                                                None, t, cfg.objective)
                 return jax.lax.stop_gradient(x_start)
             use_sc = jax.random.bernoulli(rng_scflip, 0.5)
-            x_self_cond = jnp.where(use_sc, make_sc(), jnp.zeros_like(x_t))
+            # scalar-pred lax.cond: the extra denoiser forward runs only on
+            # the 50% of steps that actually use it (reference's python-level
+            # coin, diffusion_gaussian2d.py:568-572)
+            x_self_cond = jax.lax.cond(use_sc, make_sc,
+                                       lambda: jnp.zeros_like(x_t))
 
         out = self.model_fn(x_t, x_self_cond, t)
         per = jnp.mean((out.astype(jnp.float32) - noise) ** 2,
