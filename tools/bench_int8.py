@@ -24,7 +24,8 @@ def timeit(fn, *args, iters=3, warmup=1):
     float(np.asarray(out).sum())
     return (time.perf_counter() - t0) / iters
 
-for tag, q in [("bf16", None), ("int8", "int8"), ("int8kv", "int8kv")]:
+for tag, q in [("bf16", None), ("int8", "int8"), ("int8kv", "int8kv"),
+               ("int4", "int4"), ("int4kv", "int4kv")]:
     f = jax.jit(lambda p, rng, q=q: sample_tokens(gpt, p, rng, sos, 1, steps, quant=q))
     dt = timeit(f, gp, jax.random.PRNGKey(0))
     print(tag, json.dumps({"seconds": round(dt, 3),

@@ -218,15 +218,18 @@ def sample_tokens(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
       quant: ``'int8'`` streams the block weights as per-output-channel
         symmetric int8 through the chunked kernel (dequant in-body) — the
         decode step is weight-DMA bound, so halving the weight bytes is a
-        direct speedup. Opt-in: the sampling distribution shifts by the
-        quantization error (~0.4%/channel); embeddings, LN affines, biases
-        and the LM head stay full precision. Only takes effect on the fused
-        path (quant of the XLA decode path would still be op-bound).
+        direct speedup. ``'int8kv'`` additionally keeps the KV cache as
+        per-row int8. ``'int4'``/``'int4kv'`` nibble-pack the weight stream
+        (¼ the bf16 bytes) at a larger distribution shift. Opt-in: the
+        sampling distribution shifts by the quantization error
+        (~0.4%/channel at int8); embeddings, LN affines, biases and the LM
+        head stay full precision. Only takes effect on the fused path
+        (quant of the XLA decode path would still be op-bound).
 
     Returns [B, steps] sampled tokens. Replaces the reference's Python loop of
     full re-forwards (vqTransformer.py:173-216).
     """
-    if quant not in (None, "int8", "int8kv"):
+    if quant not in (None, "int8", "int8kv", "int4", "int4kv"):
         raise ValueError(f"unsupported quant mode {quant!r}")
     if fused is None:
         # the chunked kernel's largest resident blocks are the [C, C] weight
@@ -314,7 +317,7 @@ def _sample_tokens_fused(gpt: GPT, params, rng: jax.Array, prefix: jax.Array,
         packed = pack_decode_params_chunked(params, gpt.n_layer, dtype=dtype,
                                             quant=quant)
         n = -(-total // 64) * 64   # KV-chunk-align the cache length
-    quantkv = quant == "int8kv"
+    quantkv = quant in ("int8kv", "int4kv")   # KV rows are int8 either way
     tok_emb = params["tok_emb"]["embedding"].astype(jnp.float32)
     pos_emb = params["pos_emb"][0].astype(jnp.float32)
     lnf_s = params["ln_f"]["scale"].astype(jnp.float32)

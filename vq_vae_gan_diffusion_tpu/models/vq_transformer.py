@@ -48,9 +48,10 @@ class VQTransformer:
             remat=bool(tcfg.get("remat", False)),
         )
         self.seq_len = self.vqvae.latent_size ** 2
-        # opt-in int8 weight streaming for the fused decode kernel
-        # (architecture.<model>.decode_quant: int8) — sampling only; training
-        # and teacher-forced forwards stay full precision
+        # opt-in quantized weight streaming for the fused decode kernel
+        # (architecture.<model>.decode_quant: int8|int8kv|int4|int4kv) —
+        # sampling only; training and teacher-forced forwards stay full
+        # precision
         self.decode_quant = tcfg.get("decode_quant", None)
 
     # -- pure functions (take params explicitly) ----------------------------

@@ -263,6 +263,28 @@ def fused_decode_stack(x: jax.Array, packed: Dict[str, jax.Array],
 # sub-steps, like the residual stream x.
 
 _NB = 64           # KV rows per chunk (sublane-aligned for bf16)
+_NG = 8            # int4 contraction groups per chunk (group size = R/8)
+
+
+def _pack_nibbles(q: jax.Array) -> jax.Array:
+    """Pack int4 values (float in [-7, 7]) pairwise along axis -2: byte row r
+    holds original row r in its low nibble and row r + R/2 in its high one."""
+    q = q.astype(jnp.int32)
+    r = q.shape[-2]
+    lo = jax.lax.slice_in_dim(q, 0, r // 2, axis=-2)
+    hi = jax.lax.slice_in_dim(q, r // 2, r, axis=-2)
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def _unpack_nibbles(w8: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of :func:`_pack_nibbles` for one [R/2, O] block: returns the
+    (rows [0, R/2), rows [R/2, R)) halves as ``dtype``. Sign-extension uses
+    mask arithmetic, not shift wraparound (`(v & 15) - ((v & 8) << 1)`),
+    which lowers cleanly on both Mosaic and the interpreter."""
+    w32 = w8.astype(jnp.int32)                    # sign-extends the byte
+    lo = (w32 & 15) - ((w32 & 8) << 1)
+    hi = w32 >> 4                                 # arithmetic shift
+    return lo.astype(dtype), hi.astype(dtype)
 
 
 def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
@@ -284,6 +306,26 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
     converts int8→``dtype`` in-body and multiplies the f32 GEMM *output* by
     the scale row — mathematically per-channel dequantization, but the HBM
     weight stream (what the decode step is bound on) is halved vs bf16.
+
+    ``quant='int4'`` additionally packs two int4 values ([-7, 7]) into each
+    int8 byte along **axis 2** of the chunk: byte row r holds rows r (low
+    nibble) and r + R/2 (high nibble) of the original [R, O] chunk, so
+    ``wattn`` becomes [L, 4, C/2, C] and ``wmlp`` [L, 4, C/2, 2C]. Pairing
+    halves (not adjacent rows) lets the kernel's GEMM split into
+    *contiguous* slices — no strided slicing, which Mosaic cannot lower.
+    int4 scales are **group-wise** (per-channel int4 is too coarse: ~17%
+    quasi-greedy token agreement vs 92% for int8 on the unit-test model):
+    the contraction axis is split into ``_NG`` = 8 equal groups, each with
+    its own per-output-channel scale (= max|w|/7 over the group), stored as
+    ``sattn`` [L, 4, 8, C] / ``smlp`` [L, 4, 8, 2C]. The kernel runs one
+    [B, R/8] × [R/8, O] MXU pass per group and scales each partial f32
+    output before accumulating — all on VMEM-resident data, while the HBM
+    weight stream (the decode step's binding resource) is ¼ the bf16 bytes.
+    For contraction-axis-2 chunks (wq/wk/wv/wproj, fc1) groups 0..3 live in
+    the low-nibble half and 4..7 in the high one; fc2ᵀ chunks contract on
+    their *lane* axis, so groups are lane slices and the per-(row, group)
+    scales are stored transposed with outputs in lanes [:C] (ones padding,
+    as in int8's fc2ᵀ rows).
     """
     def get(i, *path):
         return functools.reduce(lambda d, k: d[k], path, params[f"block{i}"])
@@ -309,12 +351,12 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
     wattn = jnp.stack(attn)                                     # [L, 4, C, C]
     wmlp = jnp.stack(mlp)                                       # [L, 4, C, 2C]
     extra: Dict[str, jax.Array] = {}
-    if quant in ("int8", "int8kv"):   # int8kv quantizes the same weights;
-        # the KV-cache quantization itself happens in-kernel (see
+    eps = 1e-8
+    if quant in ("int8", "int8kv"):   # *kv quantizes the same weights; the
+        # KV-cache quantization itself happens in-kernel (see
         # fused_decode_stack_chunked's kv_scales)
         wattn = wattn.astype(jnp.float32)
         wmlp = wmlp.astype(jnp.float32)
-        eps = 1e-8
         # attn chunks all contract on axis 2 → per-output-column scales
         sattn = jnp.maximum(jnp.max(jnp.abs(wattn), axis=2, keepdims=True),
                             eps) / 127.0                        # [L, 4, 1, C]
@@ -337,6 +379,40 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
             s_l.append(srow)
         wmlp = jnp.stack(wq_l, axis=1)                          # int8
         extra = {"sattn": sattn.astype(jnp.float32),
+                 "smlp": jnp.stack(s_l, axis=1).astype(jnp.float32)}
+    elif quant in ("int4", "int4kv"):
+        wattn = wattn.astype(jnp.float32)
+        wmlp = wmlp.astype(jnp.float32)
+        if c % (2 * _NG):
+            raise ValueError(f"int4 needs n_embd % {2 * _NG} == 0, got {c}")
+        # attn: contraction axis 2 in _NG groups → per-(group, column) scales
+        wg = wattn.reshape(l_, 4, _NG, c // _NG, c)
+        sattn = jnp.maximum(jnp.max(jnp.abs(wg), axis=3, keepdims=True),
+                            eps) / 7.0                     # [L, 4, NG, 1, C]
+        qa = jnp.clip(jnp.round(wg / sattn), -7, 7).reshape(l_, 4, c, c)
+        wattn = _pack_nibbles(qa)                          # [L, 4, C/2, C]
+        wq_l, s_l = [], []
+        for ci in range(4):
+            w = wmlp[:, ci]                                # [L, C, 2C]
+            if ci % 2 == 0:   # fc1 halves: contract axis 1, grouped rows
+                wg = w.reshape(l_, _NG, c // _NG, 2 * c)
+                s = jnp.maximum(jnp.max(jnp.abs(wg), axis=2, keepdims=True),
+                                eps) / 7.0                 # [L, NG, 1, 2C]
+                q = jnp.clip(jnp.round(wg / s), -7, 7).reshape(l_, c, 2 * c)
+                srow = s[:, :, 0, :]                       # [L, NG, 2C]
+            else:             # fc2ᵀ halves: contract axis 2, grouped lanes
+                wg = w.reshape(l_, c, _NG, 2 * c // _NG)
+                sr = jnp.maximum(jnp.max(jnp.abs(wg), axis=3, keepdims=True),
+                                 eps) / 7.0                # [L, C, NG, 1]
+                q = jnp.clip(jnp.round(wg / sr), -7, 7).reshape(l_, c, 2 * c)
+                # per-(output-row, group) scales → [L, NG, C] in lanes [:C]
+                srow = jnp.concatenate(
+                    [jnp.transpose(sr[:, :, :, 0], (0, 2, 1)),
+                     jnp.ones((l_, _NG, c))], axis=2)      # [L, NG, 2C]
+            wq_l.append(q)
+            s_l.append(srow)
+        wmlp = _pack_nibbles(jnp.stack(wq_l, axis=1))      # [L, 4, C/2, 2C]
+        extra = {"sattn": sattn[:, :, :, 0, :].astype(jnp.float32),
                  "smlp": jnp.stack(s_l, axis=1).astype(jnp.float32)}
     elif quant is not None:
         raise ValueError(f"unsupported quant mode {quant!r}")
@@ -362,40 +438,44 @@ def pack_decode_params_chunked(params: Dict[str, Any], n_layer: int,
 def _chunked_kernel(t_ref, x_in, wattn, wmlp, bqkv, ln1_s, ln1_b, bproj, ln2_s,
                     ln2_b, bfc1, bfc2, kv, x_out, kv_new,
                     xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
-                    *, n_head: int, dtype, kc: int, kvs: int):
+                    *, n_head: int, dtype, kc: int, kvs: int,
+                    int4: bool = False):
     _chunked_body(t_ref, x_in, wattn, wmlp, None, None, bqkv, ln1_s, ln1_b,
                   bproj, ln2_s, ln2_b, bfc1, bfc2, kv, None, x_out, kv_new,
                   None, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
-                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs)
+                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs, int4=int4)
 
 
 def _chunked_kernel_q(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s,
                       ln1_b, bproj, ln2_s, ln2_b, bfc1, bfc2, kv, x_out,
                       kv_new, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s,
-                      h_s, *, n_head: int, dtype, kc: int, kvs: int):
+                      h_s, *, n_head: int, dtype, kc: int, kvs: int,
+                      int4: bool = False):
     _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
                   bproj, ln2_s, ln2_b, bfc1, bfc2, kv, None, x_out, kv_new,
                   None, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
-                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs)
+                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs, int4=int4)
 
 
 def _chunked_kernel_qkv(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s,
                         ln1_b, bproj, ln2_s, ln2_b, bfc1, bfc2, kv, kv_sc,
                         x_out, kv_new, sc_new, xn_s, q_s, k_s, v_s, m_s,
                         den_s, num_s, hn_s, h_s,
-                        *, n_head: int, dtype, kc: int, kvs: int):
+                        *, n_head: int, dtype, kc: int, kvs: int,
+                        int4: bool = False):
     _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
                   bproj, ln2_s, ln2_b, bfc1, bfc2, kv, kv_sc, x_out, kv_new,
                   sc_new, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
-                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs)
+                  n_head=n_head, dtype=dtype, kc=kc, kvs=kvs, int4=int4)
 
 
 def _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
                   bproj, ln2_s, ln2_b, bfc1, bfc2, kv, kv_sc, x_out, kv_new,
                   sc_new, xn_s, q_s, k_s, v_s, m_s, den_s, num_s, hn_s, h_s,
-                  *, n_head: int, dtype, kc: int, kvs: int):
-    quant = sattn is not None        # static: int8 chunks + f32 scale rows
+                  *, n_head: int, dtype, kc: int, kvs: int, int4: bool):
+    quant = sattn is not None        # static: int8/int4 chunks + scale rows
     quantkv = kv_sc is not None      # static: int8 KV rows + per-row scales
+    cw = x_out.shape[1]              # model width C (for nibble-half splits)
 
     def wa():                        # current attention weight chunk, as dtype
         return wattn[0, 0].astype(dtype) if quant else wattn[0, 0]
@@ -411,6 +491,75 @@ def _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
             return out
         s = smlp[0, 0]
         return out * (s[:, :lanes] if lanes is not None else s)
+
+    # GEMM sites. In int4 mode each chunk holds nibble-packed row pairs
+    # (r, r + R/2) with group-wise scales (_NG contraction groups, each with
+    # a per-output-channel scale row): the kernel runs one MXU pass per
+    # group and scales each f32 partial before accumulating. Groups 0..3
+    # live in the low-nibble half, 4..7 in the high one, so every slice is
+    # contiguous. fc2ᵀ chunks (axis 2 = outputs) group their *lane* axis
+    # and compute the two output halves separately, concatenating lanes.
+    half = cw // 2
+    ng2 = _NG // 2
+
+    def mm_a(xin):                   # attention chunks: [B,C] @ [C,C]
+        if int4:
+            lo, hi = _unpack_nibbles(wattn[0, 0], dtype)  # [C/2, C]
+            g = cw // _NG
+            out = jnp.zeros((xin.shape[0], cw), jnp.float32)
+            for gi in range(ng2):
+                sl = slice(gi * g, (gi + 1) * g)
+                out += jnp.dot(xin[:, sl].astype(dtype), lo[sl],
+                               preferred_element_type=jnp.float32
+                               ) * sattn[0, 0, gi:gi + 1]
+                out += jnp.dot(xin[:, half + gi * g:half + (gi + 1) * g
+                                   ].astype(dtype), hi[sl],
+                               preferred_element_type=jnp.float32
+                               ) * sattn[0, 0, ng2 + gi:ng2 + gi + 1]
+            return out
+        return sc_a(jnp.dot(xin.astype(dtype), wa(),
+                            preferred_element_type=jnp.float32))
+
+    def mm_fc1(xin):                 # fc1 halves: [B,C] @ [C,2C]
+        if int4:
+            lo, hi = _unpack_nibbles(wmlp[0, 0], dtype)   # [C/2, 2C]
+            g = cw // _NG
+            out = jnp.zeros((xin.shape[0], 2 * cw), jnp.float32)
+            for gi in range(ng2):
+                sl = slice(gi * g, (gi + 1) * g)
+                out += jnp.dot(xin[:, sl].astype(dtype), lo[sl],
+                               preferred_element_type=jnp.float32
+                               ) * smlp[0, 0, gi:gi + 1]
+                out += jnp.dot(xin[:, half + gi * g:half + (gi + 1) * g
+                                   ].astype(dtype), hi[sl],
+                               preferred_element_type=jnp.float32
+                               ) * smlp[0, 0, ng2 + gi:ng2 + gi + 1]
+            return out
+        return sc_m(jnp.dot(xin.astype(dtype), wm(),
+                            preferred_element_type=jnp.float32))
+
+    def mm_fc2(xin):                 # fc2ᵀ halves: [B,2C] · [C,2C] on lanes
+        if int4:
+            lo, hi = _unpack_nibbles(wmlp[0, 0], dtype)   # output halves
+            xd = xin.astype(dtype)
+            gm = 2 * cw // _NG
+            o_lo = jnp.zeros((xin.shape[0], half), jnp.float32)
+            o_hi = jnp.zeros((xin.shape[0], half), jnp.float32)
+            for gi in range(_NG):
+                gsl = slice(gi * gm, (gi + 1) * gm)
+                o_lo += jax.lax.dot_general(
+                    xd[:, gsl], lo[:, gsl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                    ) * smlp[0, 0, gi:gi + 1, :half]
+                o_hi += jax.lax.dot_general(
+                    xd[:, gsl], hi[:, gsl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                    ) * smlp[0, 0, gi:gi + 1, half:cw]
+            return jnp.concatenate([o_lo, o_hi], axis=-1)
+        return sc_m(jax.lax.dot_general(xin.astype(dtype), wm(),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32),
+                    lanes=cw)
 
     t = t_ref[0]
     j = pl.program_id(1)
@@ -440,19 +589,15 @@ def _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
         m_s[:] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
         den_s[:] = jnp.zeros(den_s.shape, jnp.float32)
         num_s[:] = jnp.zeros(num_s.shape, jnp.float32)
-        q_s[:] = (sc_a(jnp.dot(xn_s[:].astype(dtype), wa(),
-                               preferred_element_type=jnp.float32))
-                  + bias_j) * scale
+        q_s[:] = (mm_a(xn_s[:]) + bias_j) * scale
 
     @pl.when(j == 1)
     def _():
-        k_s[:] = sc_a(jnp.dot(xn_s[:].astype(dtype), wa(),
-                              preferred_element_type=jnp.float32)) + bias_j
+        k_s[:] = mm_a(xn_s[:]) + bias_j
 
     @pl.when(j == 2)
     def _():
-        v_s[:] = sc_a(jnp.dot(xn_s[:].astype(dtype), wa(),
-                              preferred_element_type=jnp.float32)) + bias_j
+        v_s[:] = mm_a(xn_s[:]) + bias_j
         if quantkv:
             # per-row symmetric int8: the caller commits the int8 rows and
             # their scales at position t
@@ -523,10 +668,7 @@ def _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
         den = jnp.dot(denom.astype(dtype), segt,
                       preferred_element_type=jnp.float32)
         y = (num / den).astype(dtype)
-        x_out[:] = (x_out[:]
-                    + sc_a(jnp.dot(y, wa(),
-                                   preferred_element_type=jnp.float32))
-                    + bproj[0])
+        x_out[:] = x_out[:] + mm_a(y) + bproj[0]
 
     # ---- MLP (j = KVS+1 .. KVS+4, fc1 half / fc2 half alternating) ----
     jm = j - (kvs + 1)
@@ -538,17 +680,14 @@ def _chunked_body(t_ref, x_in, wattn, wmlp, sattn, smlp, bqkv, ln1_s, ln1_b,
     @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 0))
     def _():
         b1 = jnp.where(jm == 0, bfc1[0, 0:1], bfc1[0, 1:2])
-        h = sc_m(jnp.dot(hn_s[:].astype(dtype), wm(),
-                         preferred_element_type=jnp.float32)) + b1
+        h = mm_fc1(hn_s[:]) + b1
         h_s[:] = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
 
     @pl.when(jnp.logical_and(jm >= 0, jm % 2 == 1))
     def _():
         # fc2 halves are packed transposed [C, 2C]; contract on axis 1
         # (per-row scales live in lanes [:C] of the smlp row)
-        x = x_out[:] + sc_m(jax.lax.dot_general(
-            h_s[:].astype(dtype), wm(), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32), lanes=c)
+        x = x_out[:] + mm_fc2(h_s[:])
         x_out[:] = jnp.where(jm == 3, x + bfc2[0], x)
 
 
@@ -579,6 +718,9 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
     if dtype is None:
         dtype = jnp.bfloat16 if kv_cache.dtype == jnp.int8 else kv_cache.dtype
     quant = "sattn" in packed
+    # int4 chunks are nibble-packed along axis 2 (pack_decode_params_chunked)
+    int4 = quant and packed["wattn"].shape[2] * 2 == c
+    cr = c // 2 if int4 else c       # stored chunk row count
     if n % _NB:
         raise ValueError(f"chunked decode needs N % {_NB} == 0, got {n}")
     kc = n // _NB
@@ -605,10 +747,12 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
     scale_args = []
     if quant:
         # f32 dequant scale rows, streamed with the same index maps as their
-        # weight chunks (tiny [1, C]/[1, 2C] blocks — negligible DMA)
+        # weight chunks (tiny blocks — [1, C] per-channel rows for int8,
+        # [_NG, C] group-wise stacks for int4; negligible DMA either way)
+        sr = _NG if int4 else 1
         scale_specs = [
-            pl.BlockSpec((1, 1, 1, c), widx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 2 * c), midx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sr, c), widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sr, 2 * c), midx, memory_space=pltpu.VMEM),
         ]
         scale_args = [packed["sattn"], packed["smlp"]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -617,8 +761,8 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
         in_specs=[
             pl.BlockSpec((b, c), lambda i, j, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, c), widx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, 2 * c), midx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cr, c), widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cr, 2 * c), midx, memory_space=pltpu.VMEM),
             *scale_specs,
             pl.BlockSpec((1, 3, c), lambda i, j, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -667,7 +811,7 @@ def fused_decode_stack_chunked(x: jax.Array, packed: Dict[str, jax.Array],
     else:
         kern_fn = _chunked_kernel_q if quant else _chunked_kernel
     kern = functools.partial(kern_fn, n_head=n_head, dtype=dtype, kc=kc,
-                             kvs=kvs)
+                             kvs=kvs, int4=int4)
     out_shape = [jax.ShapeDtypeStruct((b, c), jnp.float32),
                  jax.ShapeDtypeStruct((l, b, c2), kv_cache.dtype)]
     if quantkv:
