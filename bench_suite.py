@@ -232,7 +232,7 @@ def main() -> int:
                                 jnp.zeros((1, 256), jnp.int32),
                                 jnp.zeros((1,), jnp.int32))["params"]
     tp = jax.device_put(tp, jax.devices()[0])
-    for fused, label in ((False, "xla"), (True, "fused")):
+    for fused, label in ((False, "xla"), (True, "fused"), ("prng", "prng")):
         try:
             tvq.diffusion.fused_posterior = fused
             fn = jax.jit(lambda rng: tvq.sample(tp, rng, 16))

@@ -37,7 +37,7 @@ def main(argv=None) -> int:
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
     parser.add_argument("--fused-posterior", type=str, default=None,
-                        choices=["on", "off", "interpret"],
+                        choices=["on", "off", "interpret", "prng"],
                         help="override architecture.vqdiffusion.fused_posterior "
                              "(fused per-step posterior+sample Pallas kernel "
                              "for the discrete prior)")

@@ -118,3 +118,72 @@ def test_fused_sampler_with_index_native_model():
     d.fused_posterior = "interpret"
     np.testing.assert_array_equal(np.asarray(d.sample(rng, batch_size=2)),
                                   base)
+
+# ---- in-kernel PRNG gumbel variant -----------------------------------------
+
+def test_gumbel_from_bits_transform():
+    """bits → gumbel transform: matches a float64 reference on the same
+    uniforms and has Gumbel(0,1) moments (mean γ ≈ 0.5772, var π²/6)."""
+    from vq_vae_gan_diffusion_tpu.ops.discrete_posterior_pallas import (
+        _gumbel_from_bits)
+    bits = np.random.default_rng(0).integers(0, 2 ** 32, size=(200_000,),
+                                             dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(_gumbel_from_bits(jnp.asarray(bits)))
+    u64 = (bits >> np.uint32(8)).astype(np.float64) / (1 << 24)
+    ref = -np.log(-np.log(u64 + 1e-30) + 1e-30)
+    np.testing.assert_allclose(got, ref.astype(np.float32), rtol=2e-5,
+                               atol=2e-5)
+    assert abs(got.mean() - 0.5772) < 0.02
+    assert abs(got.var() - np.pi ** 2 / 6) < 0.05
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pltpu.prng_* has no CPU lowering")
+def test_prng_kernel_on_tpu():
+    """TPU-only: determinism per seed, validity, truncated-support
+    confinement, and distribution agreement with the XLA sampler."""
+    from vq_vae_gan_diffusion_tpu.ops.discrete_posterior_pallas import (
+        fused_posterior_sample_prng)
+    b, n, k, T = 4, 256, 257, 10
+    d = DiscreteDiffusion(num_classes=k, seq_len=n, timesteps=T)
+    r1, r2, r3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    logits = jax.random.normal(r1, (b, n, k - 1)) * 2.0
+    # identical rows → empirical token histogram estimates the posterior
+    logits = jnp.broadcast_to(logits[:, :1], logits.shape)
+    x_t = jnp.broadcast_to(jax.random.randint(r2, (b, 1), 0, k), (b, n))
+    t = jnp.full((b,), T // 2, jnp.int32)
+    coefs = gather_posterior_coefs(d.sched, t, d.num_timesteps)
+    seeds = jax.random.bits(r3, (b, 2), jnp.uint32)
+
+    got = np.asarray(fused_posterior_sample_prng(logits, x_t, coefs, seeds))
+    again = np.asarray(fused_posterior_sample_prng(logits, x_t, coefs, seeds))
+    np.testing.assert_array_equal(got, again)          # deterministic
+    other = np.asarray(fused_posterior_sample_prng(logits, x_t, coefs,
+                                                   seeds + 1))
+    assert (got != other).any()                        # stream moves
+    assert got.min() >= 0 and got.max() < k
+
+    # distribution: TV distance between empirical histogram and the exact
+    # posterior over all b*n iid draws (rows identical per batch)
+    ev = d.q_posterior_idx(d._log_pred_from_logits(logits), x_t, t)
+    p = np.asarray(jnp.exp(ev))[:, 0]                  # [b, k]
+    for bi in range(b):
+        hist = np.bincount(got[bi], minlength=k) / n
+        tv = 0.5 * np.abs(hist - p[bi]).sum()
+        assert tv < 0.35, tv                           # n=256 draws
+
+    # truncated: samples confined to the top-k support
+    trunc_k = 16
+    gt = np.asarray(fused_posterior_sample_prng(logits, x_t, coefs, seeds,
+                                                trunc_k=trunc_k))
+    kth = np.asarray(jax.lax.top_k(ev, trunc_k)[0][..., -1])
+    evn = np.asarray(ev)
+    for bi in range(b):
+        for j in range(n):
+            assert evn[bi, j, gt[bi, j]] >= kth[bi, j]

@@ -103,6 +103,12 @@ def run_transformer(codebook_size=1024, seq_len=256, embedding_dim=512,
     d.fused_posterior = fused_mode
     timeit("full_fused",
            lambda z, sub, i: d._step_idx(sub, z, t_of(i), t_of(i)), z0)
+    if jax.devices()[0].platform == "tpu":
+        # in-kernel hardware-PRNG gumbel (no [B,N,K] gumbel HBM round trip;
+        # TPU-only: pltpu.prng_* has no CPU lowering)
+        d.fused_posterior = "prng"
+        timeit("full_prng",
+               lambda z, sub, i: d._step_idx(sub, z, t_of(i), t_of(i)), z0)
     d.fused_posterior = False
 
 

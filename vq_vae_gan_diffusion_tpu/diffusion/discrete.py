@@ -280,20 +280,35 @@ class DiscreteDiffusion:
         ``fused_posterior`` is set (token-identical, same rng stream)."""
         if self.fused_posterior:
             from ..ops.discrete_posterior_pallas import (
-                fits_vmem, fused_posterior_sample, gather_posterior_coefs)
+                fits_vmem, fused_posterior_sample, fused_posterior_sample_prng,
+                gather_posterior_coefs)
             b, n = z_idx.shape
             if fits_vmem(n, self.num_classes):
                 trunc_k = (max(int(self.num_classes *
                                    (self.truncation_rate or 0.86)), 1)
                            if truncated else 0)
                 logits = self._raw_logits_idx(z_idx, t)
-                gumbel = self._gumbel(rng, (b, n, self.num_classes))
                 coefs = gather_posterior_coefs(self.sched, t_post,
                                                self.num_timesteps)
+                if self.fused_posterior == "prng":
+                    # in-kernel hardware-PRNG gumbel: same distribution,
+                    # different stream (TPU-only; no gumbel HBM round trip)
+                    if jax.devices()[0].platform != "tpu":
+                        raise ValueError(
+                            "fused_posterior='prng' is TPU-only "
+                            "(pltpu.prng_* has no CPU/interpret lowering)")
+                    seeds = jax.random.bits(rng, (b, 2), jnp.uint32)
+                    return fused_posterior_sample_prng(
+                        logits, z_idx, coefs, seeds, trunc_k=trunc_k)
+                gumbel = self._gumbel(rng, (b, n, self.num_classes))
+                # on CPU the kernel can only run interpreted (token-identical
+                # either way) — keeps `--fused-posterior on --platform cpu`
+                # drivable, e.g. during TPU tunnel outages
+                interp = (self.fused_posterior == "interpret"
+                          or jax.devices()[0].platform == "cpu")
                 return fused_posterior_sample(
                     logits, z_idx, coefs, gumbel,
-                    interpret=self.fused_posterior == "interpret",
-                    trunc_k=trunc_k)
+                    interpret=interp, trunc_k=trunc_k)
             # row tile too large for VMEM → XLA path (static shape check)
         log_x_recon = self.predict_start_idx(z_idx, t)
         prob = self.q_posterior_idx(log_x_recon, z_idx, t_post)

@@ -75,9 +75,22 @@ def _kth_largest_key(key_nm, key_last, k: int):
     return p
 
 
-def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref, *,
-            trunc_k: int = 0):
-    lf = logits_ref[0].astype(jnp.float32)                 # [N, K-1]
+def _gumbel_from_bits(bits: jax.Array) -> jax.Array:
+    """uint32 random bits → Gumbel noise, matching the XLA path's transform
+    (``-log(-log(u + 1e-30) + 1e-30)``) with u drawn uniformly on [0, 1) at
+    24-bit resolution (the float32 mantissa width, as jax.random.uniform).
+
+    Same *distribution* as :meth:`DiscreteDiffusion._gumbel`, different
+    stream — the in-kernel PRNG variant trades token-identity for removing
+    the [B, N, K] gumbel HBM round trip.
+    """
+    u = (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    return -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
+
+
+def _posterior_body(lf, xt_ref, coef_ref, g, out_ref, trunc_k: int):
+    """Shared kernel body: raw logits tile [N, K-1] + carry + coefs + gumbel
+    tile [N, K] → sampled index column written to ``out_ref``."""
     n, km1 = lf.shape
 
     # predict_start post-processing (reference :237-246)
@@ -123,7 +136,6 @@ def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref, *,
     ev_nm = jnp.clip(qp_nm + qt1_nm + q_lse, LOG_EPS, 0.0)
     ev_last = jnp.clip(qp_last + qt1_last + q_lse, LOG_EPS, 0.0)
 
-    g = gumbel_ref[0]                                      # [N, K]
     score = ev_nm + g[:, :km1]
     score_last = ev_last + g[:, km1:]
 
@@ -143,6 +155,31 @@ def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref, *,
     best_v = jnp.max(score, axis=1, keepdims=True)
     # dense argmax tie-break: first max wins, and the mask class is last
     out_ref[0] = jnp.where(score_last > best_v, km1, best).astype(jnp.int32)
+
+
+def _kernel(logits_ref, xt_ref, coef_ref, gumbel_ref, out_ref, *,
+            trunc_k: int = 0):
+    _posterior_body(logits_ref[0].astype(jnp.float32), xt_ref, coef_ref,
+                    gumbel_ref[0], out_ref, trunc_k)
+
+
+def _kernel_prng(logits_ref, xt_ref, coef_ref, seed_ref, out_ref, *,
+                 trunc_k: int = 0):
+    """Variant that draws the gumbel noise from the core's hardware PRNG
+    instead of reading a [N, K] tile from HBM: per-step traffic drops to the
+    logits read + the [N] index write (~⅓ of the gumbel-fed kernel's, since
+    XLA also pays a full write to *materialize* the gumbel tensor).
+
+    NOT token-identical to the XLA path (different stream, same Gumbel
+    distribution); TPU-only (``pltpu.prng_*`` has no interpret lowering in
+    this jax). Seeded per (batch row, step) from two SMEM words.
+    """
+    lf = logits_ref[0].astype(jnp.float32)                 # [N, K-1]
+    n, km1 = lf.shape
+    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+    bits = pltpu.prng_random_bits((n, km1 + 1))
+    g = _gumbel_from_bits(jax.lax.bitcast_convert_type(bits, jnp.uint32))
+    _posterior_body(lf, xt_ref, coef_ref, g, out_ref, trunc_k)
 
 
 def gather_posterior_coefs(sched, t_post: jax.Array,
@@ -204,4 +241,41 @@ def fused_posterior_sample(logits: jax.Array, x_t: jax.Array,
         interpret=interpret,
     )(logits, x_t[..., None].astype(jnp.int32),
       jnp.pad(coefs, ((0, 0), (0, 16 - coefs.shape[1]))), gumbel)
+    return out[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("trunc_k",))
+def fused_posterior_sample_prng(logits: jax.Array, x_t: jax.Array,
+                                coefs: jax.Array, seeds: jax.Array,
+                                trunc_k: int = 0) -> jax.Array:
+    """:func:`fused_posterior_sample` with in-kernel hardware-PRNG gumbel:
+    ``seeds`` is [B, 2] int32 (one fresh pair per batch row and step, e.g.
+    ``jax.random.bits(rng, (b, 2), jnp.uint32)``). Same sampling
+    distribution, different stream — NOT token-identical to the XLA path.
+    TPU-only (no interpret lowering for ``pltpu.prng_*``)."""
+    b, n, km1 = logits.shape
+    k = km1 + 1
+    assert fits_vmem(n, k), "row tile too large for VMEM; use the XLA path"
+    if seeds.dtype == jnp.uint32:  # bitcast: astype past 2^31 is UB
+        seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_kernel_prng, trunc_k=int(trunc_k)),
+        grid=(b,),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[
+            pl.BlockSpec((1, n, km1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
+    )(logits, x_t[..., None].astype(jnp.int32),
+      jnp.pad(coefs, ((0, 0), (0, 16 - coefs.shape[1]))),
+      seeds.astype(jnp.int32))
     return out[..., 0]
