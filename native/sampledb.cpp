@@ -13,6 +13,7 @@
 // Build: make -C native    (g++ -O3 -march=native -shared -fPIC -pthread)
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -44,9 +45,19 @@ struct AugmentSpec {
   float std[8];
   float p_hflip = 0.f;
   float p_vflip = 0.f;
+  float p_rot = 0.f;     // probability of a random rotation
+  float max_deg = 0.f;   // rotation drawn uniform in [-max_deg, max_deg]
 };
 
-// gather + augment + normalize one sample into out (float32 HWC)
+// gather + augment + normalize one sample into out (float32 HWC).
+//
+// Augmentation order matches the Python recipe (transforms.py
+// random_flips_and_rotation): hflip → vflip → rotate. Rotation is inverse-
+// mapped bilinear about the pixel-center image center with zero (black)
+// fill applied BEFORE normalization, like PIL's rotate(deg, BILINEAR) on the
+// uint8 image — same distribution/geometry as the Python path, not
+// bit-identical to PIL's resampler (documented divergence; augmentations are
+// random draws either way).
 void materialize(const Store& s, uint64_t idx, const AugmentSpec& spec,
                  uint64_t seed, float* out) {
   const uint8_t* src = s.data() + idx * s.sample_bytes();
@@ -55,20 +66,58 @@ void materialize(const Store& s, uint64_t idx, const AugmentSpec& spec,
   std::uniform_real_distribution<float> uni(0.f, 1.f);
   const bool hflip = spec.p_hflip > 0.f && uni(rng) < spec.p_hflip;
   const bool vflip = spec.p_vflip > 0.f && uni(rng) < spec.p_vflip;
+  const bool rot = spec.p_rot > 0.f && uni(rng) < spec.p_rot;
+  float deg = 0.f;
+  if (rot) {
+    std::uniform_real_distribution<float> ang(-spec.max_deg, spec.max_deg);
+    deg = ang(rng);
+  }
 
   float inv_std[8], neg_mean[8];
   for (int64_t k = 0; k < C && k < 8; ++k) {
     inv_std[k] = 1.f / spec.std[k];
     neg_mean[k] = spec.mean[k];
   }
+  if (!rot) {
+    for (int64_t y = 0; y < H; ++y) {
+      const int64_t sy = vflip ? H - 1 - y : y;
+      for (int64_t x = 0; x < W; ++x) {
+        const int64_t sx = hflip ? W - 1 - x : x;
+        const uint8_t* px = src + (sy * W + sx) * C;
+        float* dst = out + (y * W + x) * C;
+        for (int64_t k = 0; k < C; ++k) {
+          dst[k] = (px[k] * (1.f / 255.f) - neg_mean[k & 7]) * inv_std[k & 7];
+        }
+      }
+    }
+    return;
+  }
+  // rotation path: fetch taps from the (virtually) flipped image
+  const double th = (double)deg * 3.14159265358979323846 / 180.0;
+  const float ct = (float)std::cos(th), st = (float)std::sin(th);
+  const float cx = (W - 1) * 0.5f, cy = (H - 1) * 0.5f;
+  auto tap = [&](int64_t ty, int64_t tx, int64_t k) -> float {
+    if (ty < 0 || ty >= H || tx < 0 || tx >= W) return 0.f;  // black fill
+    const int64_t sy = vflip ? H - 1 - ty : ty;
+    const int64_t sx = hflip ? W - 1 - tx : tx;
+    return (float)src[(sy * W + sx) * C + k];
+  };
   for (int64_t y = 0; y < H; ++y) {
-    const int64_t sy = vflip ? H - 1 - y : y;
+    const float dy = (float)y - cy;
     for (int64_t x = 0; x < W; ++x) {
-      const int64_t sx = hflip ? W - 1 - x : x;
-      const uint8_t* px = src + (sy * W + sx) * C;
+      const float dx = (float)x - cx;
+      const float fx = ct * dx + st * dy + cx;
+      const float fy = -st * dx + ct * dy + cy;
+      const int64_t x0 = (int64_t)std::floor(fx);
+      const int64_t y0 = (int64_t)std::floor(fy);
+      const float ax = fx - (float)x0, ay = fy - (float)y0;
+      const float w00 = (1.f - ax) * (1.f - ay), w01 = ax * (1.f - ay);
+      const float w10 = (1.f - ax) * ay, w11 = ax * ay;
       float* dst = out + (y * W + x) * C;
       for (int64_t k = 0; k < C; ++k) {
-        dst[k] = (px[k] * (1.f / 255.f) - neg_mean[k & 7]) * inv_std[k & 7];
+        const float v = w00 * tap(y0, x0, k) + w01 * tap(y0, x0 + 1, k) +
+                        w10 * tap(y0 + 1, x0, k) + w11 * tap(y0 + 1, x0 + 1, k);
+        dst[k] = (v * (1.f / 255.f) - neg_mean[k & 7]) * inv_std[k & 7];
       }
     }
   }
@@ -202,7 +251,8 @@ void sdb_shape(void* handle, uint64_t* out4) {
 // Synchronous gather: indices[n] → out float32 [n, h, w, c]
 void sdb_gather(void* handle, const uint64_t* indices, uint64_t n,
                 const float* mean, const float* stdv, uint64_t c_stats,
-                float p_hflip, float p_vflip, uint64_t seed, float* out) {
+                float p_hflip, float p_vflip, float p_rot, float max_deg,
+                uint64_t seed, float* out) {
   Store* s = reinterpret_cast<Store*>(handle);
   AugmentSpec spec;
   for (uint64_t k = 0; k < 8; ++k) {
@@ -210,6 +260,7 @@ void sdb_gather(void* handle, const uint64_t* indices, uint64_t n,
     spec.std[k] = stdv[k < c_stats ? k : c_stats - 1];
   }
   spec.p_hflip = p_hflip; spec.p_vflip = p_vflip;
+  spec.p_rot = p_rot; spec.max_deg = max_deg;
   const size_t sb = s->sample_bytes();
   const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
   const uint64_t per = (n + hw - 1) / hw;
@@ -228,6 +279,7 @@ void sdb_gather(void* handle, const uint64_t* indices, uint64_t n,
 void* sdb_prefetcher_create(void* handle, uint64_t batch_size,
                             const float* mean, const float* stdv,
                             uint64_t c_stats, float p_hflip, float p_vflip,
+                            float p_rot, float max_deg,
                             uint64_t seed, int shuffle, int drop_last,
                             int num_threads, uint64_t n_limit) {
   Store* s = reinterpret_cast<Store*>(handle);
@@ -238,6 +290,7 @@ void* sdb_prefetcher_create(void* handle, uint64_t batch_size,
     p->spec.std[k] = stdv[k < c_stats ? k : c_stats - 1];
   }
   p->spec.p_hflip = p_hflip; p->spec.p_vflip = p_vflip;
+  p->spec.p_rot = p_rot; p->spec.max_deg = max_deg;
   p->batch_size = batch_size;
   p->seed = seed;
   p->n_limit = n_limit;

@@ -111,3 +111,128 @@ def test_native_flip_augmentation(store_path):
     ref = prep(ds.get_image(0))[:, ::-1]
     np.testing.assert_allclose(a[0], ref, atol=1e-6)
     st.close()
+
+
+def _rotate_bilinear_ref(img: np.ndarray, deg: float) -> np.ndarray:
+    """NumPy reference of the native rotation: inverse-mapped bilinear about
+    the pixel-center image center, zero fill, on the uint8 image."""
+    h, w, c = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(deg)
+    ct, st_ = np.float32(np.cos(th)), np.float32(np.sin(th))
+    y, x = np.meshgrid(np.arange(h, dtype=np.float32),
+                       np.arange(w, dtype=np.float32), indexing="ij")
+    fx = ct * (x - cx) + st_ * (y - cy) + cx
+    fy = -st_ * (x - cx) + ct * (y - cy) + cy
+    x0, y0 = np.floor(fx).astype(int), np.floor(fy).astype(int)
+    ax, ay = fx - x0, fy - y0
+    out = np.zeros((h, w, c), np.float32)
+    src = img.astype(np.float32)
+    for dy_, dx_, wgt in ((0, 0, (1 - ax) * (1 - ay)), (0, 1, ax * (1 - ay)),
+                          (1, 0, (1 - ax) * ay), (1, 1, ax * ay)):
+        ty, tx = y0 + dy_, x0 + dx_
+        ok = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+        vals = np.where(ok[..., None],
+                        src[np.clip(ty, 0, h - 1), np.clip(tx, 0, w - 1)], 0.0)
+        out += wgt[..., None] * vals
+    return out
+
+
+def test_native_rotation_augmentation(store_path):
+    """p_rot=1 rotation: deterministic per seed, differs across seeds, and
+    matches the NumPy bilinear reference at the angle the C++ RNG drew
+    (recovered by scanning; the draw order is hflip,vflip,rot,angle)."""
+    path, ds = store_path
+    st = native.SampleStore(path)
+    a = st.gather(np.array([0]), p_rot=1.0, max_deg=25.0, seed=11)
+    b = st.gather(np.array([0]), p_rot=1.0, max_deg=25.0, seed=11)
+    np.testing.assert_array_equal(a, b)
+    c = st.gather(np.array([0]), p_rot=1.0, max_deg=25.0, seed=12)
+    assert np.abs(a - c).max() > 1e-4
+
+    img = ds.get_image(0)
+    plain = st.gather(np.array([0]))[0]
+    assert np.abs(a[0] - plain).max() > 1e-4  # rotation actually applied
+
+    # recover the drawn angle by best-match against the reference rotation
+    degs = np.linspace(-25, 25, 2001)
+    errs = [np.abs(a[0] - (_rotate_bilinear_ref(img, d) / 255.0 - 0.5) / 0.5).mean()
+            for d in degs]
+    best = degs[int(np.argmin(errs))]
+    ref = (_rotate_bilinear_ref(img, best) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(a[0], ref, atol=2e-2)
+    st.close()
+
+
+def test_native_rotation_zero_prob_identity(store_path):
+    path, ds = store_path
+    st = native.SampleStore(path)
+    a = st.gather(np.array([1]), p_rot=0.0, max_deg=25.0, seed=3)
+    prep = Preprocessor(16, (0.5,), (0.5,))
+    np.testing.assert_allclose(a[0], prep(ds.get_image(1)), atol=1e-6)
+    st.close()
+
+
+def test_native_loader_augmented_epochs_vary(store_path):
+    """Augmented epochs re-draw augmentations (epoch folds into the seed)."""
+    path, _ = store_path
+    dl = native.NativeDataLoader(path, batch_size=16, mean=(0.5,) * 3,
+                                 std=(0.5,) * 3, p_hflip=0.2, p_vflip=0.2,
+                                 p_rot=1.0, max_deg=25.0, seed=7,
+                                 shuffle=False)
+    e1 = np.concatenate([b for b in dl])
+    e2 = np.concatenate([b for b in dl])
+    assert e1.shape == e2.shape
+    assert np.abs(e1 - e2).max() > 1e-4
+    assert np.isfinite(e1).all()
+    dl.close()
+
+
+def test_store_grayscale_build():
+    ds = SyntheticDataset(8, 12, 3, seed=4)
+    path = os.path.join(tempfile.mkdtemp(), "g.sdb")
+    native.build_sample_store(ds, path, grayscale=True)
+    st = native.SampleStore(path)
+    assert st.c == 1
+    got = st.gather(np.array([2]))[0]
+    prep = Preprocessor(12, (0.5,), (0.5,), grayscale=True)
+    np.testing.assert_allclose(got, prep(ds.get_image(2)), atol=1e-2)
+    st.close()
+
+
+def test_pipeline_routes_augmented_dataset_to_native(tmp_path):
+    """use_native_loader now serves augmented folder datasets too (flips +
+    rotation run in C++); previously they silently kept the Python loader."""
+    from PIL import Image
+
+    from vq_vae_gan_diffusion_tpu.config import config_from_dict
+    from vq_vae_gan_diffusion_tpu.data.pipeline import load_dataloader
+
+    for cls in ("a", "b"):
+        d = os.path.join(str(tmp_path), "train", cls)
+        os.makedirs(d)
+        for i in range(8):
+            arr = (np.arange(16 * 16 * 3, dtype=np.uint8)
+                   .reshape(16, 16, 3) + 13 * i)
+            Image.fromarray(arr).save(os.path.join(d, f"i{i}.png"))
+    cfg = config_from_dict({
+        "architecture": {"model_name": "vqgan"},
+        "dataset": {
+            "dataset_name": "Oxford102Flower", "mean": [0.5] * 3,
+            "std": [0.5] * 3, "num_workers": 0, "subset": False,
+            "use_native_loader": True, "data_root": str(tmp_path),
+            "cache_dir": os.path.join(str(tmp_path), "cache"),
+            "img_channels": {"Oxford102Flower": 3},
+            "img_size": {"Oxford102Flower": 16},
+            "batch_size": {"vqgan": {"Oxford102Flower": 4}},
+        },
+        "trainer": {"num_workers": 0, "log_dir": str(tmp_path)},
+    })
+    loader, _ = load_dataloader("Oxford102Flower", "train", config=cfg)
+    assert isinstance(loader, native.NativeDataLoader)
+    e1 = np.concatenate([b for b in loader])
+    e2 = np.concatenate([b for b in loader])
+    assert e1.shape == (16, 16, 16, 3) and np.isfinite(e1).all()
+    # augmentations re-drawn per epoch (p_rot 0.3 across 16 samples ⇒ ~5 rot)
+    assert np.abs(e1 - e2).max() > 1e-4
+    loader.close()

@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--img", type=int, default=32)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=8, help="timed epochs")
+    ap.add_argument("--augment", action="store_true",
+                    help="train-recipe augmentation on both sides "
+                         "(flips + random <=25 deg rotation)")
     args = ap.parse_args()
 
     from vq_vae_gan_diffusion_tpu.data import (DataLoader, Preprocessor,
@@ -39,7 +42,8 @@ def main() -> int:
     from vq_vae_gan_diffusion_tpu.data import native_loader as native
 
     ds = SyntheticDataset(args.n, args.img, 3, seed=0)
-    prep = Preprocessor(args.img, (0.5,) * 3, (0.5,) * 3)
+    prep = Preprocessor(args.img, (0.5,) * 3, (0.5,) * 3,
+                        augment=args.augment)
 
     def run_epochs(make_iter, epochs: int) -> float:
         t0 = time.perf_counter()
@@ -54,15 +58,18 @@ def main() -> int:
     py_ips = run_epochs(lambda: iter(py), args.epochs)
 
     out = {"python_loader_img_per_s": round(py_ips, 1),
-           "n": args.n, "img": args.img, "batch": args.batch}
+           "n": args.n, "img": args.img, "batch": args.batch,
+           "augment": bool(args.augment)}
 
     if native.is_available():
         path = os.path.join(tempfile.mkdtemp(), "bench.sdb")
         t0 = time.perf_counter()
         native.build_sample_store(ds, path)
         out["store_build_s"] = round(time.perf_counter() - t0, 2)
+        aug = (dict(p_hflip=0.2, p_vflip=0.2, p_rot=0.3, max_deg=25.0)
+               if args.augment else {})
         nl = native.NativeDataLoader(path, args.batch, mean=(0.5,) * 3,
-                                     std=(0.5,) * 3, seed=1)
+                                     std=(0.5,) * 3, seed=1, **aug)
         run_epochs(lambda: iter(nl), 1)                   # warm
         nat_ips = run_epochs(lambda: iter(nl), args.epochs)
         nl.close()

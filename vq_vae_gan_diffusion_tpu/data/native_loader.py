@@ -3,9 +3,9 @@
 The reference outsources host-side data work to torch DataLoader worker
 *processes* (SURVEY §3 "process/device boundaries"); here the equivalent
 native layer is a C++ thread pool over a memory-mapped, decoded-once uint8
-sample store — gather, flip augmentation, u8→f32 normalization all happen in
-native code, and Python only hands contiguous float32 batches to
-``jax.device_put``.
+sample store — gather, flip + random-rotation augmentation, u8→f32
+normalization all happen in native code, and Python only hands contiguous
+float32 batches to ``jax.device_put``.
 
 Usage::
 
@@ -52,14 +52,14 @@ def _load():
     lib.sdb_gather.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.c_uint64, ctypes.c_float, ctypes.c_float, ctypes.c_uint64,
-        ctypes.POINTER(ctypes.c_float)]
+        ctypes.c_uint64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float)]
     lib.sdb_prefetcher_create.restype = ctypes.c_void_p
     lib.sdb_prefetcher_create.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_uint64, ctypes.c_float,
-        ctypes.c_float, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_uint64]
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
     lib.sdb_prefetcher_reset.restype = ctypes.c_uint64
     lib.sdb_prefetcher_reset.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sdb_prefetcher_next.restype = ctypes.c_int
@@ -79,22 +79,31 @@ def is_available() -> bool:
         return False
 
 
-def build_sample_store(dataset, path: str, img_size: Optional[int] = None) -> str:
-    """Decode a dataset once into the mmap-able uint8 store."""
+def build_sample_store(dataset, path: str, img_size: Optional[int] = None,
+                       grayscale: bool = False) -> str:
+    """Decode a dataset once into the mmap-able uint8 store.
+
+    ``grayscale`` converts multi-channel images with the same ITU-R 601-2
+    luma as ``Preprocessor`` so a grayscale pipeline (e.g. mnist config on
+    RGB sources) can still take the native path."""
     from .transforms import resize
 
+    def prepare(img: np.ndarray) -> np.ndarray:
+        if img_size is not None:
+            img = resize(img, img_size)
+        if grayscale and img.shape[-1] != 1:
+            img = (img @ np.array([0.299, 0.587, 0.114], np.float32))
+            img = np.clip(img, 0, 255)[..., None].astype(np.uint8)
+        return img
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    first = dataset.get_image(0)
-    if img_size is not None:
-        first = resize(first, img_size)
+    first = prepare(dataset.get_image(0))
     h, w, c = first.shape
     n = len(dataset)
     with open(path, "wb") as f:
         f.write(struct.pack("<5Q", _MAGIC, n, h, w, c))
         for i in range(n):
-            img = dataset.get_image(i)
-            if img_size is not None:
-                img = resize(img, img_size)
+            img = prepare(dataset.get_image(i))
             f.write(np.ascontiguousarray(img, np.uint8).tobytes())
     return path
 
@@ -116,6 +125,7 @@ class SampleStore:
 
     def gather(self, indices: np.ndarray, mean=(0.5,), std=(0.5,),
                p_hflip: float = 0.0, p_vflip: float = 0.0,
+               p_rot: float = 0.0, max_deg: float = 0.0,
                seed: int = 0) -> np.ndarray:
         idx = np.ascontiguousarray(indices, np.uint64)
         out = np.empty((len(idx), self.h, self.w, self.c), np.float32)
@@ -123,7 +133,7 @@ class SampleStore:
         s, _ = _stats(std)
         self.lib.sdb_gather(
             self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            len(idx), m, s, cm, p_hflip, p_vflip, seed,
+            len(idx), m, s, cm, p_hflip, p_vflip, p_rot, max_deg, seed,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
 
@@ -138,6 +148,7 @@ class NativeDataLoader:
 
     def __init__(self, store_path: str, batch_size: int, mean=(0.5,),
                  std=(0.5,), p_hflip: float = 0.0, p_vflip: float = 0.0,
+                 p_rot: float = 0.0, max_deg: float = 0.0,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
                  num_threads: int = 0, max_samples: Optional[int] = None):
         self.lib = _load()
@@ -147,7 +158,8 @@ class NativeDataLoader:
         s, _ = _stats(std)
         limit = int(max_samples) if max_samples else 0
         self.pf = self.lib.sdb_prefetcher_create(
-            self.store.handle, batch_size, m, s, cm, p_hflip, p_vflip, seed,
+            self.store.handle, batch_size, m, s, cm, p_hflip, p_vflip,
+            p_rot, max_deg, seed,
             1 if shuffle else 0, 1 if drop_last else 0, num_threads, limit)
         self._epoch = 0
         # epoch size honors max_samples (same subset semantics as the Python

@@ -185,10 +185,12 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
     shuffle = bool(config.dataset.get("train_shuffle", True)) if train else False
 
     # opt-in native fast path: decode once into an mmap store, then let the
-    # C++ prefetcher (native/sampledb.cpp) do gather+augment+normalize
-    # (~100× the Python per-sample path; flips only — rotation-augmented
-    # datasets keep the Python loader)
-    if bool(config.dataset.get("use_native_loader", False)) and not augment:
+    # C++ prefetcher (native/sampledb.cpp) do gather+augment+normalize —
+    # flips AND the random ≤25° bilinear rotation run in native threads, so
+    # the augmented 256² folder datasets (measured 52 img/s on the Python
+    # path vs the 116 img/s the 256² train step consumes) no longer
+    # host-bind training
+    if bool(config.dataset.get("use_native_loader", False)):
         try:
             from .native_loader import (NativeDataLoader, build_sample_store,
                                         is_available)
@@ -201,13 +203,19 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
                     f"{name}_{split}_{img_size}_n{len(dataset)}.sdb")
                 if not os.path.exists(cache):
                     logger.info("building native sample store %s", cache)
-                    build_sample_store(dataset, cache, img_size=img_size)
+                    build_sample_store(dataset, cache, img_size=img_size,
+                                       grayscale=prep.grayscale)
+                # same augmentation recipe as the Python path
+                # (transforms.random_flips_and_rotation defaults)
+                aug = (dict(p_hflip=0.2, p_vflip=0.2, p_rot=0.3,
+                            max_deg=25.0) if augment else {})
                 loader = NativeDataLoader(
                     cache, batch_size, mean=prep.mean, std=prep.std,
                     shuffle=shuffle, drop_last=train, seed=seed,
-                    max_samples=max_samples)
-                logger.info("native loader: %d samples (%d batches)",
-                            loader.n, len(loader))
+                    max_samples=max_samples, **aug)
+                logger.info("native loader: %d samples (%d batches)%s",
+                            loader.n, len(loader),
+                            " [native augmentation]" if augment else "")
                 return loader, dataset
         except Exception as e:
             logger.warning("native loader unavailable (%s); python path", e)
