@@ -84,7 +84,10 @@ def _gumbel_from_bits(bits: jax.Array) -> jax.Array:
     stream — the in-kernel PRNG variant trades token-identity for removing
     the [B, N, K] gumbel HBM round trip.
     """
-    u = (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # Mosaic has no u32→f32 cast; the 24-bit value fits int32, so bitcast
+    # through s32 first (identical value, supported s32→f32 cast).
+    u24 = jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+    u = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
     return -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
 
 
@@ -105,7 +108,10 @@ def _posterior_body(lf, xt_ref, coef_ref, g, out_ref, trunc_k: int):
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, km1), 1)
     at_col = (cols == xt) & jnp.logical_not(is_mask)       # [N, K-1]
 
-    c = lambda i: coef_ref[0, i]
+    # coefs live in SMEM as the FULL [B, 16] array (Mosaic requires sub-array
+    # blocks to be (8,128)-aligned, which a [1,16] row block is not); each
+    # program picks its batch row by grid index.
+    c = lambda i: coef_ref[pl.program_id(0), i]
     log_att, log_btt, log_ctt = c(0), c(1), c(2)
     log_at, log_bt, log_ct = c(3), c(4), c(5)
     log_att_m1, log_btt_m1 = c(6), c(7)
@@ -176,7 +182,8 @@ def _kernel_prng(logits_ref, xt_ref, coef_ref, seed_ref, out_ref, *,
     """
     lf = logits_ref[0].astype(jnp.float32)                 # [N, K-1]
     n, km1 = lf.shape
-    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[b, 0], seed_ref[b, 1])
     bits = pltpu.prng_random_bits((n, km1 + 1))
     g = _gumbel_from_bits(jax.lax.bitcast_convert_type(bits, jnp.uint32))
     _posterior_body(lf, xt_ref, coef_ref, g, out_ref, trunc_k)
@@ -230,7 +237,7 @@ def fused_posterior_sample(logits: jax.Array, x_t: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda i: (i, 0),
+            pl.BlockSpec((b, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -267,9 +274,9 @@ def fused_posterior_sample_prng(logits: jax.Array, x_t: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda i: (i, 0),
+            pl.BlockSpec((b, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0),
+            pl.BlockSpec((b, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
