@@ -198,9 +198,10 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
                 # cache key includes the dataset length so a store built from
                 # a different instantiation (e.g. an earlier synthetic
                 # fallback of another size) is never silently reused
+                g = "_g" if prep.grayscale else ""
                 cache = os.path.join(
                     config.dataset.get("cache_dir", "cache"),
-                    f"{name}_{split}_{img_size}_n{len(dataset)}.sdb")
+                    f"{name}_{split}_{img_size}{g}_n{len(dataset)}.sdb")
                 if not os.path.exists(cache):
                     logger.info("building native sample store %s", cache)
                     build_sample_store(dataset, cache, img_size=img_size,
