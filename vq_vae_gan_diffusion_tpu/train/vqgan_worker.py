@@ -96,9 +96,14 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
     def train_step(state: VQGANState, imgs: jax.Array, rng: jax.Array,
                    lpips_params: Any):
         def perceptual_rec(imgs, decoded, mask):
-            p = lpips.apply({"params": lpips_params}, imgs, decoded)  # [B,1,1,1]
-            rec = jnp.abs(imgs - decoded)
-            prl = perceptual_factor * p + rec_factor * rec  # [B,H,W,C] broadcast
+            prl = rec_factor * jnp.abs(imgs - decoded)
+            if perceptual_factor != 0.0:
+                # static gate: at factor 0 the VGG forward(+backward) would
+                # still be materialized (XLA doesn't DCE a whole subgraph
+                # through a multiply-by-zero reduction) — measured 20× the
+                # pure-L1 step on CPU, pure waste on any backend
+                p = lpips.apply({"params": lpips_params}, imgs, decoded)
+                prl = prl + perceptual_factor * p  # [B,H,W,C] broadcast
             if mask is not None:
                 prl = prl * mask
             return jnp.mean(prl)
