@@ -93,8 +93,17 @@ def conv_pw_bottleneck(x, p):
 
 
 def timeit(tag, fn, x, p):
-    def body(c, _):
-        return fn(c, p).astype(c.dtype), None
+    out_shape = jax.eval_shape(lambda c: fn(c, p), x).shape
+    if out_shape == x.shape:
+        def body(c, _):
+            return fn(c, p).astype(c.dtype), None
+    else:
+        # shape-changing fn (e.g. encoder block with stride-2 downsample):
+        # keep the carry input-shaped and feed a scalar of the output back
+        # into it so the loop body can't be hoisted as loop-invariant
+        def body(c, _):
+            y = fn(c, p)
+            return c + jnp.mean(y).astype(c.dtype), None
     f = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=ITERS)[0])
     float(np.asarray(f(x)).sum())  # compile + warm
     t0 = time.perf_counter()
