@@ -132,10 +132,12 @@ def test_gumbel_from_bits_transform():
     u64 = (bits >> np.uint32(8)).astype(np.float64) / (1 << 24)
     ref = -np.log(-np.log(u64 + 1e-30) + 1e-30)
     # TPU log/exp are a few ULP off the host libm (measured ≤3.7e-4 abs on
-    # 200k samples); the transform feeds a noise source, so distributional
-    # accuracy is what matters — keep the CPU check tight, the TPU one loose.
+    # 200k samples). rtol must stay ~1e-3 so a percent-level multiplicative
+    # bug in the transform cannot hide inside the tolerance (advisor r2);
+    # atol=5e-4 covers the measured ULP drift, and the moment checks below
+    # remain the distributional backstop.
     tol = dict(rtol=2e-5, atol=2e-5) if _on_tpu() is False else \
-        dict(rtol=1e-2, atol=5e-4)
+        dict(rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(got, ref.astype(np.float32), **tol)
     assert abs(got.mean() - 0.5772) < 0.02
     assert abs(got.var() - np.pi ** 2 / 6) < 0.05

@@ -100,10 +100,13 @@ def timeit(tag, fn, x, p):
     else:
         # shape-changing fn (e.g. encoder block with stride-2 downsample):
         # keep the carry input-shaped and feed a scalar of the output back
-        # into it so the loop body can't be hoisted as loop-invariant
+        # into it so the loop body can't be hoisted as loop-invariant. The
+        # feedback is damped 1e-3 so the benchmarked input distribution does
+        # not random-walk away over ITERS iterations (advisor r2); 1e-3 is
+        # large enough that XLA cannot constant-fold the data dependence.
         def body(c, _):
             y = fn(c, p)
-            return c + jnp.mean(y).astype(c.dtype), None
+            return c + (1e-3 * jnp.mean(y)).astype(c.dtype), None
     f = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=ITERS)[0])
     float(np.asarray(f(x)).sum())  # compile + warm
     t0 = time.perf_counter()
