@@ -65,3 +65,83 @@ def test_train_loop_steps_per_dispatch(tiny_config, mesh):
     metrics = w.train(loader, epochs=1)
     assert np.isfinite(metrics["vq_loss"])
     assert w.global_step == 5
+
+
+def _shard_consistent(arr):
+    """True when every device shard of a (logically replicated) array holds
+    identical values."""
+    shards = [np.asarray(s.data) for s in arr.addressable_shards]
+    return all(np.array_equal(shards[0], s) for s in shards[1:])
+
+
+def test_discrete_vq_diffusion_train_on_mesh(tiny_config, mesh):
+    """VQ_Official train step under dp: the LtState buffers (Lt_history,
+    Lt_count, telemetry EMAs) are updated by a scatter over the GLOBAL
+     'data'-sharded batch and must come out replicated shard-consistent
+    (VERDICT r2 #4; reference buffer semantics vqdiffusionWorker.py:125-140,
+    diffusion_vq_official.py:383-388)."""
+    import jax
+
+    from vq_vae_gan_diffusion_tpu.parallel import shard_batch
+    from vq_vae_gan_diffusion_tpu.train.vq_diffusion_worker import \
+        VQDiffusionWorker
+
+    cfg = (tiny_config
+           .replace_path("architecture.model_name", "vqdiffusion")
+           .replace_path("architecture.vqdiffusion.diffusion_type", "VQ_Official")
+           .replace_path("architecture.vqdiffusion.unet_dim", 2))
+    w = VQDiffusionWorker(cfg, tempfile.mkdtemp(), mesh=mesh, debug=True,
+                          num_iters_per_epoch=4)
+    w.state = w.init_state()
+    w.place_on_mesh()
+
+    import jax.numpy as jnp
+    rng = jax.random.PRNGKey(0)
+    B = 8
+    state = w.state
+    for s in range(2):
+        batch = shard_batch(np.random.default_rng(s).normal(
+            size=(B, 32, 32, 3)).astype(np.float32), mesh)
+        state, m = w.train_step(state, batch, jax.random.fold_in(rng, s))
+    jax.block_until_ready(state)
+    assert np.isfinite(float(m["loss"]))
+
+    lt = state.lt_state
+    # each step scatters one count per GLOBAL batch element
+    np.testing.assert_allclose(float(jnp.sum(lt.Lt_count)), 2 * B)
+    for name in ("Lt_history", "Lt_count", "acc_ema", "keep_ema"):
+        arr = getattr(lt, name)
+        assert _shard_consistent(arr), f"LtState.{name} diverged across shards"
+    assert float(jnp.sum(lt.Lt_history)) > 0.0  # the EMA actually moved
+    # params/EMA stay replicated and consistent too
+    leaf = jax.tree_util.tree_leaves(state.unet_params)[0]
+    assert _shard_consistent(leaf)
+
+
+def test_gaussian2d_train_on_mesh(tiny_config, mesh):
+    """gaussiandiffusion2d worker dp step on the mesh (VERDICT r2 #4): loss
+    finite, params/EMA replicated shard-consistent after the update."""
+    import jax
+
+    from vq_vae_gan_diffusion_tpu.parallel import shard_batch
+    from vq_vae_gan_diffusion_tpu.train.gaussian_diffusion_workers import \
+        GaussianDiffusion2DWorker
+
+    cfg = tiny_config.replace_path("architecture.model_name",
+                                   "gaussiandiffusion2d")
+    w = GaussianDiffusion2DWorker(cfg, tempfile.mkdtemp(), mesh=mesh, debug=True)
+    w.state = w.init_state()
+    w.place_on_mesh()
+
+    state = w.state
+    rng = jax.random.PRNGKey(3)
+    for s in range(2):
+        batch = shard_batch(np.random.default_rng(10 + s).normal(
+            size=(8, 32, 32, 1)).astype(np.float32), mesh)
+        state, m = w.train_step(state, batch, jax.random.fold_in(rng, s))
+    jax.block_until_ready(state)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 2
+    for tree in (state.params, state.ema_params):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        assert _shard_consistent(leaf)
