@@ -92,8 +92,11 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
-            a = a * jax.lax.rsqrt(jnp.sum(a.astype(jnp.float32) ** 2, -1, keepdims=True) + 1e-10).astype(a.dtype)
-            b = b * jax.lax.rsqrt(jnp.sum(b.astype(jnp.float32) ** 2, -1, keepdims=True) + 1e-10).astype(b.dtype)
+            # upstream lpips normalize_tensor adds eps OUTSIDE the sqrt
+            a = a / (jnp.sqrt(jnp.sum(a.astype(jnp.float32) ** 2, -1,
+                                      keepdims=True)) + 1e-10).astype(a.dtype)
+            b = b / (jnp.sqrt(jnp.sum(b.astype(jnp.float32) ** 2, -1,
+                                      keepdims=True)) + 1e-10).astype(b.dtype)
             diff = (a - b) ** 2
             w = self.param(f"lin{i}", nn.initializers.ones, (diff.shape[-1],))
             lin = jnp.einsum("bhwc,c->bhw", diff, jnp.abs(w))  # lin weights are non-negative
