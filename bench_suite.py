@@ -291,8 +291,12 @@ def main() -> int:
                     iters=3, warmup=2) / K
     dt_pl = timeit(chained(nearest_indices_pallas), z, cb,
                    iters=3, warmup=2) / K
+    dt_pl16 = timeit(chained(
+        lambda zz, cbk: nearest_indices_pallas(zz, cbk, "bf16")), z, cb,
+        iters=3, warmup=2) / K
     results["codebook_argmin_8192x1024x256"] = {
         "xla_us": round(dt_xla * 1e6, 1), "pallas_us": round(dt_pl * 1e6, 1),
+        "pallas_bf16_us": round(dt_pl16 * 1e6, 1),
         "pallas_speedup": round(dt_xla / dt_pl, 2)}
     print("codebook", results["codebook_argmin_8192x1024x256"], flush=True)
 

@@ -23,3 +23,21 @@ def test_pallas_matches_xla(rng, n, k, d):
         a = np.asarray(nearest_indices_pallas(z, cb))
     b = np.asarray(nearest_codebook_indices(z, cb))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_bf16_scores_mode(rng):
+    """precision='bf16' (full-rate MXU scores): exact agreement when codes are
+    well-separated; on random data near-tie flips are allowed but rare."""
+    n, k, d = 512, 64, 32
+    cb = jax.random.normal(jax.random.PRNGKey(1), (k, d)) * 4.0  # separated
+    assign = jax.random.randint(rng, (n,), 0, k)
+    z = cb[assign] + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (n, d))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(nearest_indices_pallas(z, cb, "bf16"))
+    np.testing.assert_array_equal(got, np.asarray(assign))
+
+    z_rand = jax.random.normal(jax.random.PRNGKey(3), (n, d))
+    ref = np.asarray(nearest_codebook_indices(z_rand, cb))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(nearest_indices_pallas(z_rand, cb, "bf16"))
+    assert (got == ref).mean() > 0.97

@@ -23,12 +23,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measured on v5e (N=8192, K=1024, D=256), synchronized via host readback
-# (block_until_ready does not fence on the axon tunnel): fused kernel ≈ 0.88 ms
-# vs XLA path ≈ 0.86 ms — parity within the tunnel's ~0.7 ms readback RTT noise
-# floor; the device-side op is far smaller than either number and is <1% of a
-# stage-1 train step. The kernel's value is the HBM-traffic bound (the [N, K]
-# distance matrix never leaves VMEM), which matters as K·N grows.
+# Round-1 measurement at (N=8192, K=1024, D=256) was parity-within-noise;
+# round-2 amortized chained-dispatch timing showed the v1 kernel LOSING 0.28×
+# to XLA's fused matmul+argmin (BENCHMARKS.md). v2 (this file) attacks the two
+# v1 costs:
+#   1. `jnp.argmin` along the LANE axis lowers to a slow cross-lane
+#      reduction in Mosaic → replaced by min + (iota where dist==min) min,
+#      two fast lane reductions with identical first-min-index semantics;
+#   2. the f32 scores matmul runs the MXU in multi-pass f32 mode → optional
+#      `precision="bf16"` casts the operands (f32 accumulate) for the full
+#      MXU rate; exact f32 remains the default (argmin can flip on
+#      near-ties under bf16 scores).
 TILE_N = 1024
 
 
@@ -36,35 +41,46 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(z_ref, cb_ref, cb_sq_ref, out_ref):
+def _kernel(z_ref, cb_ref, cb_sq_ref, out_ref, *, bf16_scores: bool):
     z = z_ref[:]                       # [TILE_N, D]
     cb = cb_ref[:]                     # [K, D]
+    if bf16_scores:
+        z = z.astype(jnp.bfloat16)
+        cb = cb.astype(jnp.bfloat16)
     # dist = -2 z·cbᵀ + ||cb||²   (row-constant ||z||² omitted)
     scores = jax.lax.dot_general(
         z, cb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # MXU [TILE_N, K]
     dist = cb_sq_ref[:] - 2.0 * scores               # [1, K] broadcast
-    out_ref[:] = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
+    # argmin via two lane-reductions (first-min-index semantics): a direct
+    # jnp.argmin along lanes is the measured v1 bottleneck
+    k = dist.shape[1]
+    m = jnp.min(dist, axis=1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    idx = jnp.min(jnp.where(dist == m, iota, k), axis=1, keepdims=True)
+    out_ref[:] = idx.astype(jnp.int32)
 
 
-@jax.custom_jvp
-def nearest_indices_pallas(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def nearest_indices_pallas(z_flat: jax.Array, codebook: jax.Array,
+                           precision: str = "f32") -> jax.Array:
     """[N, D] × [K, D] → [N] int32 nearest-codebook indices."""
-    return _nearest_indices_impl(z_flat, codebook)
+    return _nearest_indices_impl(z_flat, codebook, precision)
 
 
 @nearest_indices_pallas.defjvp
-def _nearest_indices_jvp(primals, tangents):
+def _nearest_indices_jvp(precision, primals, tangents):
     # integer argmin output: no tangent (pallas_call has no autodiff rule, so
     # we declare the op non-differentiable explicitly)
     import numpy as _np
-    out = _nearest_indices_impl(*primals)
+    out = _nearest_indices_impl(*primals, precision)
     zero = _np.zeros(out.shape, jax.dtypes.float0)
     return out, zero
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _nearest_indices_impl(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _nearest_indices_impl(z_flat: jax.Array, codebook: jax.Array,
+                          precision: str = "f32") -> jax.Array:
     n, d = z_flat.shape
     k = codebook.shape[0]
     n_pad = _round_up(max(n, 8), TILE_N)
@@ -75,7 +91,7 @@ def _nearest_indices_impl(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
 
     grid = (n_pad // TILE_N,)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, bf16_scores=(precision == "bf16")),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
