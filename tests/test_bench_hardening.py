@@ -72,12 +72,18 @@ def test_sigterm_during_backend_probe_still_prints_json(tmp_path):
         import bench
         bench._BACKEND_SRC = "import time; time.sleep(15)"
         bench._PROBE_SRC = "import time; time.sleep(15)"
+        bench._install_term_handler()   # main() re-installs; harmless
+        print("READY", flush=True)
         sys.exit(bench.main())
     """))
     p = subprocess.Popen([sys.executable, str(driver)],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True)
-    time.sleep(2.0)  # let it install the handler and enter the probe wait
+    # handshake instead of a fixed sleep: under a loaded machine interpreter
+    # startup alone can exceed any guess
+    line = p.stdout.readline()
+    assert line.strip() == "READY", line
+    time.sleep(0.5)  # let main() enter the backend-probe wait
     p.send_signal(signal.SIGTERM)
     out, _ = p.communicate(timeout=30)
     recs = _json_lines(out)

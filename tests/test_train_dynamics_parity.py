@@ -466,3 +466,123 @@ def test_discrete_vq_diffusion_train_dynamics():
     np.testing.assert_allclose(np.asarray(params["w2"]),
                                tmodel.l2.weight.detach().numpy().T,
                                rtol=1e-2, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# 3. GPT stage-2 dynamics (AdamW decay/no-decay split, minGPT CE)
+# ---------------------------------------------------------------------------
+
+G_VOCAB, G_BLOCK, G_LAYER, G_HEAD, G_EMBD = 64, 32, 2, 4, 32
+G_LR, G_B1, G_B2, G_WD = 4.5e-4, 0.9, 0.95, 0.01
+G_STEPS, G_B = 20, 8
+
+
+def _ref_adamw(tg):
+    """The reference's decay/no-decay bucketing (mingpt configure_optimizers
+    via vqTransformerWorker.py:94-133) applied to the bare GPT."""
+    decay, no_decay = set(), set()
+    for mn, m in tg.named_modules():
+        for pn, _ in m.named_parameters(recurse=False):
+            fpn = f"{mn}.{pn}" if mn else pn
+            if pn.endswith("bias"):
+                no_decay.add(fpn)
+            elif pn.endswith("weight") and isinstance(m, torch.nn.Linear):
+                decay.add(fpn)
+            elif pn.endswith("weight") and isinstance(
+                    m, (torch.nn.LayerNorm, torch.nn.Embedding)):
+                no_decay.add(fpn)
+    no_decay.add("pos_emb")
+    pd = dict(tg.named_parameters())
+    groups = [
+        {"params": [pd[n] for n in sorted(decay)], "weight_decay": G_WD},
+        {"params": [pd[n] for n in sorted(no_decay)], "weight_decay": 0.0},
+    ]
+    assert len(decay) + len(no_decay) == len(pd)
+    return torch.optim.AdamW(groups, lr=G_LR, betas=(G_B1, G_B2))
+
+
+@pytest.mark.slow
+def test_gpt_train_dynamics():
+    """minGPT CE training: the optax.adamw(mask=mingpt_decay_mask) update must
+    reproduce torch AdamW with the reference's decay/no-decay groups — the
+    masked-weight-decay semantics only show up across steps. Dropout is off on
+    both sides (the reference's pkeep corruption and dropout draw from torch's
+    RNG; corruption-free CE isolates optimizer+gradient parity)."""
+    import optax
+    from network.vqTransformer.submodule.mingpt import GPT as TorchGPT
+
+    from vq_vae_gan_diffusion_tpu.models.mingpt import GPT
+    from vq_vae_gan_diffusion_tpu.train.vq_transformer_worker import \
+        mingpt_decay_mask
+
+    torch.manual_seed(4)
+    tg = TorchGPT(vocab_size=G_VOCAB, block_size=G_BLOCK, n_layer=G_LAYER,
+                  n_head=G_HEAD, n_embd=G_EMBD).eval()  # eval = dropout off
+    opt_t = _ref_adamw(tg)
+
+    def dense_w(lin):
+        out = {"kernel": t2j(lin.weight).T}
+        if lin.bias is not None:
+            out["bias"] = t2j(lin.bias)
+        return out
+
+    def ln_w(ln):
+        return {"scale": t2j(ln.weight), "bias": t2j(ln.bias)}
+
+    params = {
+        "tok_emb": {"embedding": t2j(tg.tok_emb.weight)},
+        "pos_emb": t2j(tg.pos_emb),
+        "ln_f": ln_w(tg.ln_f),
+        "head": {"kernel": t2j(tg.head.weight).T},
+    }
+    for i, blk in enumerate(tg.blocks):
+        params[f"block{i}"] = {
+            "ln1": ln_w(blk.ln1), "ln2": ln_w(blk.ln2),
+            "attn": {"query": dense_w(blk.attn.query),
+                     "key": dense_w(blk.attn.key),
+                     "value": dense_w(blk.attn.value),
+                     "proj": dense_w(blk.attn.proj)},
+            "fc1": dense_w(blk.mlp[0]), "fc2": dense_w(blk.mlp[2]),
+        }
+    jg = GPT(vocab_size=G_VOCAB, block_size=G_BLOCK, n_layer=G_LAYER,
+             n_head=G_HEAD, n_embd=G_EMBD)
+    opt_j = optax.adamw(G_LR, b1=G_B1, b2=G_B2, weight_decay=G_WD,
+                        mask=mingpt_decay_mask)
+    opt_state = opt_j.init(params)
+
+    rng = np.random.default_rng(13)
+    losses_t, losses_j = [], []
+    for s in range(G_STEPS):
+        toks = rng.integers(0, G_VOCAB, size=(G_B, G_BLOCK))
+        inp, tgt = toks[:, :-1], toks[:, 1:]
+
+        logits, _ = tg(torch.from_numpy(inp))
+        loss_t = torch.nn.functional.cross_entropy(
+            logits.reshape(-1, logits.size(-1)),
+            torch.from_numpy(tgt).reshape(-1))
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t))
+
+        def loss_fn(p):
+            lg = jg.apply({"params": p}, jnp.asarray(inp))
+            return optax.softmax_cross_entropy_with_integer_labels(
+                lg, jnp.asarray(tgt)).mean()
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt_j.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss_j))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=2e-4,
+                               err_msg="GPT CE loss trajectories diverged")
+    # weight-decay semantics: a DECAY param (linear kernel) and a NO-DECAY
+    # param (LayerNorm scale) both still agree after 20 steps
+    np.testing.assert_allclose(
+        np.asarray(params["block0"]["attn"]["query"]["kernel"]),
+        tg.blocks[0].attn.query.weight.detach().numpy().T,
+        rtol=1e-2, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["ln_f"]["scale"]),
+        tg.ln_f.weight.detach().numpy(), rtol=1e-2, atol=3e-4)
