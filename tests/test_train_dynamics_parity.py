@@ -586,3 +586,105 @@ def test_gpt_train_dynamics():
     np.testing.assert_allclose(
         np.asarray(params["ln_f"]["scale"]),
         tg.ln_f.weight.detach().numpy(), rtol=1e-2, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# 4. VAE train dynamics (MSE + KLD, shared reparameterization noise)
+# ---------------------------------------------------------------------------
+
+V_STEPS, V_KLDW = 20, 0.1
+
+
+@pytest.mark.slow
+def test_vae_train_dynamics():
+    """vaeWorker step (worker/vaeWorker.py:114-140): MSE + kld_weight · KLD
+    under Adam, with the SAME injected reparameterization noise on both sides
+    (the loss formula here mirrors train/vae_worker.py:54-61 exactly — the
+    worker's jitted step draws ε from jax.random, which cannot match torch's
+    stream)."""
+    import optax
+    from network.vae.vae import VAE as TorchVAE
+
+    from vq_vae_gan_diffusion_tpu.models.vae import VAE
+
+    cfg = {
+        "dataset": {"dataset_name": "synthetic",
+                    "img_size": {"synthetic": IMG},
+                    "img_channels": {"synthetic": CH}},
+        "architecture": {"vae": {
+            "latent_channels": LATENT_CH, "latent_size": LATENT_SIZE,
+            "intermediate_channels": list(INTERM),
+            "num_residual_blocks_encoder": 1,
+            "num_residual_blocks_decoder": 1,
+            "dropout": 0.0, "attention_resolution": list(ATTN)}},
+    }
+    torch.manual_seed(6)
+    tvae = TorchVAE(config=cfg)
+    opt_t = torch.optim.Adam(
+        list(tvae.encoder.parameters()) + list(tvae.decoder.parameters())
+        + list(tvae.fc_mu.parameters()) + list(tvae.fc_logvar.parameters()),
+        lr=LR, eps=1e-8, betas=(B1, B2))
+
+    params = {
+        "encoder": transplant_encoder(tvae.encoder, img_size=IMG,
+                                      interm=INTERM, n_res=1,
+                                      attn_res=set(ATTN)),
+        "decoder": transplant_decoder(tvae.decoder, latent_size=LATENT_SIZE,
+                                      interm=INTERM, n_res=1,
+                                      attn_res=set(ATTN)),
+        "fc_mu": _conv_w(tvae.fc_mu),
+        "fc_logvar": _conv_w(tvae.fc_logvar),
+    }
+    jvae = VAE(img_size=IMG, img_channels=CH, latent_channels=LATENT_CH,
+               latent_size=LATENT_SIZE, intermediate_channels=tuple(INTERM),
+               num_residual_blocks_encoder=1, num_residual_blocks_decoder=1,
+               dropout=0.0, attention_resolution=tuple(ATTN))
+    opt_j = optax.adam(LR, b1=B1, b2=B2, eps=1e-8)
+    opt_state = opt_j.init(params)
+
+    rng = np.random.default_rng(17)
+    losses_t, losses_j = [], []
+    for s in range(V_STEPS):
+        x = rng.standard_normal((B, IMG, IMG, CH)).astype(np.float32) * 0.5
+        eps = rng.standard_normal(
+            (B, LATENT_SIZE, LATENT_SIZE, LATENT_CH)).astype(np.float32)
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        eps_t = torch.from_numpy(np.transpose(eps, (0, 3, 1, 2)))
+
+        # ---- reference step with injected ε ----
+        enc = tvae.encoder(xt)
+        mu, logvar = tvae.fc_mu(enc), tvae.fc_logvar(enc)
+        z = mu + eps_t * torch.exp(0.5 * logvar)      # vae.py:61-65
+        dec = tvae.decoder(z)
+        recon = torch.nn.functional.mse_loss(dec, xt)
+        kld = -0.5 * torch.sum(1 + logvar - mu.pow(2) - logvar.exp()) \
+            / xt.numel()
+        loss_t = recon + V_KLDW * kld                 # vaeWorker.py:127-130
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t))
+
+        # ---- our model, same ε, loss formula of train/vae_worker.py ----
+        xj, ej = jnp.asarray(x), jnp.asarray(eps)
+
+        def loss_fn(p):
+            mu_j, lv_j = jvae.apply({"params": p}, xj, method=VAE.encode)
+            z_j = mu_j + ej * jnp.exp(0.5 * lv_j)
+            dec_j = jvae.apply({"params": p}, z_j, method=VAE.decode)
+            recon_j = jnp.mean((dec_j - xj) ** 2)
+            kld_j = -0.5 * jnp.sum(1 + lv_j - mu_j ** 2 - jnp.exp(lv_j)) \
+                / xj.size
+            return recon_j + V_KLDW * kld_j
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt_j.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss_j))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=2e-4,
+                               err_msg="VAE loss trajectories diverged")
+    np.testing.assert_allclose(
+        np.asarray(params["fc_mu"]["kernel"])[0, 0],
+        tvae.fc_mu.weight.detach().numpy()[:, :, 0, 0].T,
+        rtol=1e-2, atol=3e-4)
