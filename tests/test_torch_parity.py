@@ -31,15 +31,19 @@ torch.manual_seed(0)
 
 
 def t2j(x):
-    return jnp.asarray(x.detach().numpy())
+    # COPY is load-bearing: jnp.asarray over a torch-backed numpy view is
+    # zero-copy on CPU; the dynamics harness reuses these transplants while
+    # torch opt.step() mutates the source tensors in place.
+    return jnp.asarray(np.array(x.detach().numpy(), copy=True))
 
 
 def conv_w(tconv):
     """torch OIHW → flax HWIO kernel + bias."""
     w = tconv.weight.detach().numpy()
-    out = {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    out = {"kernel": jnp.asarray(np.array(np.transpose(w, (2, 3, 1, 0)),
+                                          copy=True))}
     if tconv.bias is not None:
-        out["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+        out["bias"] = t2j(tconv.bias)
     return out
 
 
@@ -272,27 +276,9 @@ def _time_mlp_w(tmod):
     return {"fc1": _lin_w(tmod.mlp[0]), "fc2": _lin_w(tmod.mlp[2])}
 
 
-def test_shuffle_unet3d_parity():
-    """Full reference Unet3D vs our ShuffleUNet, weights transplanted,
-    non-trivial BN running stats (unet3d.py:127-163)."""
-    from network.vqDiffusion.submodule.unet3d import Unet3D as RefUnet3D
-
-    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
-
-    tm = RefUnet3D(timesteps=10, time_embedding_dim=32, in_channels=1,
-                   out_channels=1, base_dim=16, dim_mults=[1, 2])
-    # accumulate non-trivial BN running stats, then freeze
-    tm.train()
-    with torch.no_grad():
-        for i in range(3):
-            tm(torch.randn(2, 1, 32, 16), None, torch.randint(0, 10, (2,)))
-    tm.eval()
-
-    x = torch.randn(2, 1, 32, 16)
-    t = torch.tensor([3, 7])
-    with torch.no_grad():
-        ref = tm(x, None, t).numpy()
-
+def transplant_shuffle_unet(tm):
+    """Full reference Unet3D → (params, batch_stats) for our ShuffleUNet.
+    Shared with the training-dynamics harness."""
     params, stats = {}, {}
     ip, is_ = _convbnsilu_w(tm.init_conv)
     params["init_conv"], stats["init_conv"] = ip, is_
@@ -314,6 +300,31 @@ def test_shuffle_unet3d_parity():
         dp["bn4"], ds["bn4"] = _bottleneck_w(db.conv1)
         params[f"dec{i}"], stats[f"dec{i}"] = dp, ds
     params["final_conv"] = conv_w(tm.final_conv)
+    return params, stats
+
+
+def test_shuffle_unet3d_parity():
+    """Full reference Unet3D vs our ShuffleUNet, weights transplanted,
+    non-trivial BN running stats (unet3d.py:127-163)."""
+    from network.vqDiffusion.submodule.unet3d import Unet3D as RefUnet3D
+
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    tm = RefUnet3D(timesteps=10, time_embedding_dim=32, in_channels=1,
+                   out_channels=1, base_dim=16, dim_mults=[1, 2])
+    # accumulate non-trivial BN running stats, then freeze
+    tm.train()
+    with torch.no_grad():
+        for i in range(3):
+            tm(torch.randn(2, 1, 32, 16), None, torch.randint(0, 10, (2,)))
+    tm.eval()
+
+    x = torch.randn(2, 1, 32, 16)
+    t = torch.tensor([3, 7])
+    with torch.no_grad():
+        ref = tm(x, None, t).numpy()
+
+    params, stats = transplant_shuffle_unet(tm)
 
     ju = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
                      out_channels=1, base_dim=16, dim_mults=(1, 2))
@@ -338,8 +349,8 @@ def test_shuffle_unet3d_parity():
 
 def _c1d_w(tconv):
     """torch Conv1d [O, I, K] → flax [K, I, O]."""
-    out = {"kernel": jnp.asarray(np.transpose(tconv.weight.detach().numpy(),
-                                              (2, 1, 0)))}
+    out = {"kernel": jnp.asarray(np.array(
+        np.transpose(tconv.weight.detach().numpy(), (2, 1, 0)), copy=True))}
     if tconv.bias is not None:
         out["bias"] = t2j(tconv.bias)
     return out
@@ -371,20 +382,9 @@ def _attn1d_w(tattn):
     return {"to_qkv": _c1d_w(tattn.to_qkv), "to_out": _c1d_w(tattn.to_out)}
 
 
-def test_unet1d_parity():
-    """Reference Conv1d U-Net (unet2d.py:215-357) vs our Unet1D with
-    transplanted weights: RMSNorm, FiLM scale-shift ResnetBlocks, linear+full
-    attention, down/upsample convs, sinusoidal time embedding."""
-    from network.vqDiffusion.submodule.unet2d import Unet2D as RefUnet2D
-
-    from vq_vae_gan_diffusion_tpu.models.unet1d import Unet1D
-
-    tm = RefUnet2D(dim=16, dim_mults=(1, 2), channels=8, out_dim=8).eval()
-    x = torch.randn(2, 8, 32)      # [B, C, N]
-    tt = torch.tensor([3, 7])
-    with torch.no_grad():
-        ref = tm(x, None, tt).numpy()
-
+def transplant_unet1d(tm):
+    """Reference Conv1d U-Net → params for our Unet1D. Shared with the
+    training-dynamics harness."""
     params = {
         "init_conv": _c1d_w(tm.init_conv),
         "time_fc1": _lin_w(tm.time_mlp[1]),
@@ -413,6 +413,24 @@ def test_unet1d_parity():
         n_lin += 1
         params[f"up{i}_up"] = _c1d_w(
             up if isinstance(up, torch.nn.Conv1d) else up[1])
+    return params
+
+
+def test_unet1d_parity():
+    """Reference Conv1d U-Net (unet2d.py:215-357) vs our Unet1D with
+    transplanted weights: RMSNorm, FiLM scale-shift ResnetBlocks, linear+full
+    attention, down/upsample convs, sinusoidal time embedding."""
+    from network.vqDiffusion.submodule.unet2d import Unet2D as RefUnet2D
+
+    from vq_vae_gan_diffusion_tpu.models.unet1d import Unet1D
+
+    tm = RefUnet2D(dim=16, dim_mults=(1, 2), channels=8, out_dim=8).eval()
+    x = torch.randn(2, 8, 32)      # [B, C, N]
+    tt = torch.tensor([3, 7])
+    with torch.no_grad():
+        ref = tm(x, None, tt).numpy()
+
+    params = transplant_unet1d(tm)
     ju = Unet1D(dim=16, dim_mults=(1, 2), channels=8, out_dim=8)
     xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 1)))  # [B, N, C]
     out = ju.apply({"params": params}, xj, None, jnp.asarray(tt.numpy()))

@@ -688,3 +688,156 @@ def test_vae_train_dynamics():
         np.asarray(params["fc_mu"]["kernel"])[0, 0],
         tvae.fc_mu.weight.detach().numpy()[:, :, 0, 0].T,
         rtol=1e-2, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# 5+6. Gaussian diffusion dynamics: the full AdamW + OneCycleLR stack
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_gaussian3d_train_dynamics():
+    """Pixel DDPM (ShuffleNet U-Net) with the reference's FULL optimizer stack:
+    AdamW + OneCycleLR(pct_start=0.25, cos) whose default momentum cycling
+    drives β₁ 0.95↔0.85 (gaussianDiffusion3DWorker.py:94-97). Pins our
+    torch_onecycle_schedules + inject_hyperparams(adamw) against torch over
+    24 steps with shared injected t/noise (loss: diffusion_gaussian3d.py
+    forward :435-443)."""
+    import optax
+    from network.vqDiffusion.submodule.diffusion_gaussian3d import \
+        GaussianDiffusion3D as RefG3D
+
+    from tests.test_torch_parity import transplant_shuffle_unet
+    from vq_vae_gan_diffusion_tpu.diffusion.gaussian3d import GaussianDiffusion3D
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+    from vq_vae_gan_diffusion_tpu.utils.schedules import torch_onecycle_schedules
+
+    T, TOTAL, GB = 10, 24, 4
+    torch.manual_seed(8)
+    tdiff = RefG3D(image_sizes=(32, 16), in_channels=1, time_embedding_dim=32,
+                   timesteps=T, sampling_timesteps=T, base_dim=16,
+                   dim_mults=[1, 2], sample_method="ddpm")
+    tm = tdiff.model.train()
+    opt_t = torch.optim.AdamW(tm.parameters(), lr=1e-3)
+    sch_t = torch.optim.lr_scheduler.OneCycleLR(
+        opt_t, 1e-3, total_steps=TOTAL, pct_start=0.25, anneal_strategy="cos")
+
+    params, stats = transplant_shuffle_unet(tm)
+    ju = ShuffleUNet(T, 32, 1, 1, 16, (1, 2))
+    jd = GaussianDiffusion3D((32, 16), 1, T, T, None, "noise_mse", "ddpm")
+    lr_fn, b1_fn = torch_onecycle_schedules(TOTAL, 1e-3)
+    opt_j = optax.inject_hyperparams(optax.adamw)(learning_rate=lr_fn,
+                                                  b1=b1_fn, weight_decay=0.01)
+    opt_state = opt_j.init(params)
+
+    rng = np.random.default_rng(23)
+    losses_t, losses_j = [], []
+    for s in range(TOTAL):
+        x = rng.standard_normal((GB, 32, 16, 1)).astype(np.float32) * 0.5
+        t_np = rng.integers(0, T, size=(GB,))
+        noise = rng.standard_normal((GB, 32, 16, 1)).astype(np.float32)
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        nt = torch.from_numpy(np.transpose(noise, (0, 3, 1, 2)))
+        tt = torch.from_numpy(t_np)
+
+        # reference forward :435-443 with injected t/noise
+        x_t = tdiff._forward_diffusion(xt, tt, nt)
+        pred = tm(x_t, None, tt)
+        loss_t = torch.nn.functional.mse_loss(pred, nt)
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+        sch_t.step()
+        losses_t.append(float(loss_t))
+
+        def loss_fn(p, st):
+            x_t_j = jd.forward_diffusion(jnp.asarray(x), jnp.asarray(t_np),
+                                         jnp.asarray(noise))
+            pred_j, upd = ju.apply({"params": p, "batch_stats": st}, x_t_j,
+                                   None, jnp.asarray(t_np), train=True,
+                                   mutable=["batch_stats"])
+            loss = jnp.mean((pred_j.astype(jnp.float32) - jnp.asarray(noise)) ** 2)
+            return loss, upd["batch_stats"]
+
+        (loss_j, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats)
+        updates, opt_state = opt_j.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss_j))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=2e-4,
+                               err_msg="gaussian3d loss trajectories diverged")
+    np.testing.assert_allclose(
+        np.asarray(params["final_conv"]["kernel"]),
+        np.transpose(tm.final_conv.weight.detach().numpy(), (2, 3, 1, 0)),
+        rtol=1e-2, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_gaussian2d_train_dynamics():
+    """Conv1d U-Net gaussian diffusion: reference p_losses with injected
+    t/noise (diffusion_gaussian2d.py:557-585, loss_weight≡1 for pred_noise)
+    vs our q_sample+mse under plain Adam(clip 1.0) — the 2D worker's stack
+    (gaussianDiffusion2DWorker; the reference's Accelerator was never
+    prepared, so bare Adam is the effective reference optimizer)."""
+    import optax
+    from network.vqDiffusion.submodule.diffusion_gaussian2d import \
+        GaussianDiffusion2D as RefG2D
+    from network.vqDiffusion.submodule.unet2d import Unet2D as RefUnet2D
+
+    from tests.test_torch_parity import transplant_unet1d
+    from vq_vae_gan_diffusion_tpu.diffusion.gaussian import q_sample
+    from vq_vae_gan_diffusion_tpu.diffusion.gaussian2d import (
+        GaussianDiffusion2D, GaussianDiffusion2DConfig)
+    from vq_vae_gan_diffusion_tpu.models.unet1d import Unet1D
+
+    T, TOTAL, GB, C, N = 10, 20, 4, 8, 32
+    torch.manual_seed(12)
+    tm = RefUnet2D(dim=16, dim_mults=(1, 2), channels=C, out_dim=C).eval()
+    tdiff = RefG2D(tm, seq_length=N, timesteps=T, sampling_timesteps=T,
+                   objective="pred_noise",
+                   diffusion_type="gaussiandiffusion2d")
+    opt_t = torch.optim.Adam(tm.parameters(), lr=1e-3, betas=(0.9, 0.99))
+
+    params = transplant_unet1d(tm)
+    ju = Unet1D(dim=16, dim_mults=(1, 2), channels=C, out_dim=C)
+    jd = GaussianDiffusion2D(GaussianDiffusion2DConfig(
+        seq_length=N, timesteps=T, sampling_timesteps=T,
+        diffusion_type="gaussiandiffusion2d"), model_fn=None)
+    opt_j = optax.chain(optax.clip_by_global_norm(1.0),
+                        optax.adam(1e-3, b1=0.9, b2=0.99))
+    opt_state = opt_j.init(params)
+
+    rng = np.random.default_rng(29)
+    losses_t, losses_j = [], []
+    for s in range(TOTAL):
+        x = rng.standard_normal((GB, C, N)).astype(np.float32) * 0.5  # [B,C,N]
+        t_np = rng.integers(0, T, size=(GB,))
+        noise = rng.standard_normal((GB, C, N)).astype(np.float32)
+
+        loss_t = tdiff.p_losses(torch.from_numpy(x), torch.from_numpy(t_np),
+                                noise=torch.from_numpy(noise))
+        opt_t.zero_grad()
+        loss_t.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0)
+        opt_t.step()
+        losses_t.append(float(loss_t))
+
+        def loss_fn(p):
+            x_t = q_sample(jd.sched, jnp.asarray(x), jnp.asarray(t_np),
+                           jnp.asarray(noise))
+            # model layout: torch Conv1d [B,C,N] ↔ flax [B,N,C]
+            out = ju.apply({"params": p}, jnp.swapaxes(x_t, 1, 2), None,
+                           jnp.asarray(t_np))
+            out = jnp.swapaxes(out, 1, 2)
+            per = jnp.mean((out.astype(jnp.float32) - jnp.asarray(noise)) ** 2,
+                           axis=(1, 2))
+            return jnp.mean(per)
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt_j.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss_j))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=2e-4,
+                               err_msg="gaussian2d loss trajectories diverged")

@@ -27,6 +27,7 @@ import optax
 from flax import struct
 
 from ..config import Config, resolve_batch_size, resolve_img_channels, resolve_img_size
+from ..utils.schedules import torch_onecycle_schedules
 from ..diffusion.gaussian2d import GaussianDiffusion2D, GaussianDiffusion2DConfig
 from ..diffusion.gaussian3d import GaussianDiffusion3D
 from ..models.unet1d import Unet1D
@@ -164,8 +165,12 @@ class GaussianDiffusion3DWorker(BaseWorker):
         lr = float(tr.learning_rate)
         num_epochs = int(config.trainer.num_epochs)
         total_steps = max(num_epochs * num_iters_per_epoch, 10)
-        schedule = optax.cosine_onecycle_schedule(total_steps, lr, 0.25, 25.0, 1e4)
-        self.opt = maybe_accumulate(optax.adamw(schedule, weight_decay=0.01), tr)
+        # torch-exact OneCycleLR incl. its β₁ cycling (0.95↔0.85), which
+        # torch applies by default and which overrides AdamW's own β₁
+        # (reference gaussianDiffusion3DWorker.py:94-97)
+        lr_fn, b1_fn = torch_onecycle_schedules(total_steps, lr)
+        self.opt = maybe_accumulate(optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr_fn, b1=b1_fn, weight_decay=0.01), tr)
         self.model_ema_steps = int(tr.get("model_ema_steps", 10))
         base_decay = float(tr.get("model_ema_decay", 0.995))
         batch_size = resolve_batch_size(config)

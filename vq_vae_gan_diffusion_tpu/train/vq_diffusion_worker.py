@@ -23,6 +23,7 @@ import optax
 from flax import struct
 
 from ..config import Config
+from ..utils.schedules import torch_onecycle_schedules
 from ..diffusion.discrete import LtState
 from ..models.vq_diffusion_composite import VQDiffusionComposite
 from ..utils import ema_update, make_grid, save_image
@@ -59,11 +60,15 @@ class VQDiffusionWorker(BaseWorker):
                     / max(num_epochs, 1))
         self.ema_decay = 1.0 - alpha
         total_steps = max(num_epochs * num_iters_per_epoch, 10)
-        schedule = optax.cosine_onecycle_schedule(
-            transition_steps=total_steps, peak_value=lr, pct_start=0.25,
-            div_factor=25.0, final_div_factor=1e4)
-        self.opt = maybe_accumulate(
-            optax.adamw(schedule, b1=b1, b2=b2, weight_decay=0.01), tr)
+        # torch-exact OneCycleLR. Reference quirk reproduced: OneCycleLR's
+        # default cycle_momentum=True OVERRIDES the configured β₁ (0.65 in the
+        # shipped config) with its 0.95↔0.85 momentum cycle from step 0
+        # (vqdiffusionWorker.py:120-122) — so `beta1` from the config is
+        # deliberately unused here, exactly like the reference. β₂ is kept.
+        lr_fn, b1_fn = torch_onecycle_schedules(total_steps, lr)
+        del b1  # documented-unused (see quirk note above)
+        self.opt = maybe_accumulate(optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr_fn, b1=b1_fn, b2=b2, weight_decay=0.01), tr)
 
         composite, opt, ema_steps, ema_decay = (self.composite, self.opt,
                                                 self.model_ema_steps, self.ema_decay)
