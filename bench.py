@@ -71,8 +71,16 @@ def _emit_outage(reason: str) -> None:
 def _install_term_handler() -> None:
     def _handler(signum, frame):
         if not _EMITTED_FINAL and not _EMITTED_OUTAGE:
-            _emit_outage(f"killed by signal {signum} before a measurement "
-                         "completed (tpu tunnel presumed wedged)")
+            # async-signal-safe path: print() on buffered stdout can raise
+            # "reentrant call" if the signal lands mid-write; os.write of a
+            # pre-built bytes line cannot
+            line = _outage_line(
+                f"killed by signal {signum} before a measurement completed "
+                "(tpu tunnel presumed wedged)")
+            try:
+                os.write(1, ("\n" + line + "\n").encode())
+            except OSError:
+                pass
         # re-raise default behaviour so the exit code reflects the kill
         signal.signal(signum, signal.SIG_DFL)
         os.kill(os.getpid(), signum)
@@ -228,13 +236,16 @@ def main() -> int:
             json.dump({"images_per_sec": ips, "batch": BATCH,
                        "backend": jax.default_backend()}, f)
 
+    # set the flag BEFORE printing: a SIGTERM landing during the print must
+    # not append an outage line after a completed measurement (the driver
+    # parses the last JSON line)
+    _EMITTED_FINAL = True
     print(json.dumps({
         "metric": "vqgan_mnist_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/s/chip",
         "vs_baseline": round(vs, 3),
     }), flush=True)
-    _EMITTED_FINAL = True
     return 0
 
 

@@ -41,3 +41,14 @@ def test_pallas_bf16_scores_mode(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(nearest_indices_pallas(z_rand, cb, "bf16"))
     assert (got == ref).mean() > 0.97
+
+
+def test_pallas_nan_rows_stay_in_range(rng):
+    """An all-NaN distance row must not emit the out-of-range index K
+    (NaN != NaN makes the min-match mask all-false; clamped in-kernel)."""
+    n, k, d = 16, 8, 16
+    cb = jax.random.normal(jax.random.PRNGKey(1), (k, d))
+    z = jax.random.normal(rng, (n, d)).at[3].set(jnp.nan)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(nearest_indices_pallas(z, cb))
+    assert got.min() >= 0 and got.max() < k

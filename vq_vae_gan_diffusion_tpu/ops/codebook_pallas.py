@@ -53,12 +53,15 @@ def _kernel(z_ref, cb_ref, cb_sq_ref, out_ref, *, bf16_scores: bool):
         preferred_element_type=jnp.float32)          # MXU [TILE_N, K]
     dist = cb_sq_ref[:] - 2.0 * scores               # [1, K] broadcast
     # argmin via two lane-reductions (first-min-index semantics): a direct
-    # jnp.argmin along lanes is the measured v1 bottleneck
+    # jnp.argmin along lanes is the measured v1 bottleneck. An all-NaN row
+    # makes `dist == m` all-false (NaN != NaN), which would yield the
+    # out-of-range index k — clamp keeps it in range (jnp.argmin would have
+    # picked an arbitrary in-range index for NaN rows too).
     k = dist.shape[1]
     m = jnp.min(dist, axis=1, keepdims=True)
     iota = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     idx = jnp.min(jnp.where(dist == m, iota, k), axis=1, keepdims=True)
-    out_ref[:] = idx.astype(jnp.int32)
+    out_ref[:] = jnp.minimum(idx, k - 1).astype(jnp.int32)
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(2,))

@@ -1,8 +1,9 @@
 """Stage-2 diffusion worker (reference ``worker/vqdiffusionWorker.py``).
 
-- AdamW(lr, β from config) + OneCycleLR(pct_start 0.25, cosine) (:120-122)
-  via ``optax.cosine_onecycle_schedule`` (same torch defaults div_factor=25,
-  final_div_factor=1e4);
+- AdamW + torch-exact OneCycleLR (:120-122) via
+  ``utils.schedules.torch_onecycle_schedules`` — including torch's default
+  momentum cycling, which overrides the configured β₁ (see the quirk note at
+  the optimizer construction below);
 - EMA of the prior every ``model_ema_steps`` with batch-adjusted decay
   (:80-83): adjust = batch_size·ema_steps/num_epochs, α = min(1, (1−decay)·adjust);
 - per-epoch sampling including the all-timesteps filmstrip when

@@ -47,14 +47,19 @@ def torch_onecycle_schedules(
     Matches torch semantics where ``scheduler.step()`` runs after each
     ``optimizer.step()``: update k uses ``last_epoch = k``.
     """
-    total_steps = max(int(total_steps), 2)
+    total_steps = int(total_steps)
+    if pct_start * total_steps <= 1.0:
+        # with up_end <= 0 torch puts every step in the down phase; the clamp
+        # below would instead hold step 0 at initial_lr — a silent ~25×
+        # discrepancy. All shipped workers floor total_steps well above this.
+        raise ValueError(
+            f"total_steps={total_steps} too small for pct_start={pct_start}: "
+            "torch-exactness needs pct_start*total_steps > 1")
     initial_lr = peak_lr / div_factor
     min_lr = initial_lr / final_div_factor
     # torch phase ends (three_phase=False): [0, up_end] then (up_end, total-1]
     up_end = float(pct_start * total_steps) - 1.0
-    down_len = float(total_steps - 1) - up_end
-    up_end = max(up_end, 1e-6)
-    down_len = max(down_len, 1e-6)
+    down_len = max(float(total_steps - 1) - up_end, 1e-6)
 
     def _interp(step, start_a, end_a, start_b, end_b):
         step = jnp.asarray(step, jnp.float32)
