@@ -133,6 +133,14 @@ class GPT(nn.Module):
     # trades ~1 extra forward of FLOPs for O(n_layer) less activation HBM —
     # the knob that lets >1B-param priors train under FSDP without OOM
     remat: bool = False
+    # sequence parallelism (Megatron-SP style): a NamedSharding applied to
+    # the [B, T, C] activations entering every block, e.g.
+    # NamedSharding(mesh, P('data', 'model', None)) — the token axis lives
+    # sharded over 'model' through the LN/residual regions and GSPMD inserts
+    # the all-gather/reduce-scatter pairs around attention. Cuts the
+    # replicated-activation footprint 1/|model| for long sequences; exact
+    # numerics (tests/test_pipeline_sp.py)
+    act_sharding: Optional[Any] = None
 
     def setup(self):
         self.tok_emb = nn.Embed(self.vocab_size, self.n_embd,
@@ -159,8 +167,12 @@ class GPT(nn.Module):
             return block(y, deterministic=deterministic)
         if self.remat:
             run_block = nn.remat(run_block)
+        constrain = (
+            (lambda y: jax.lax.with_sharding_constraint(y, self.act_sharding))
+            if self.act_sharding is not None else (lambda y: y))
+        x = constrain(x)
         for block in self.blocks:
-            x = run_block(block, x)
+            x = constrain(run_block(block, x))
         x = self.ln_f(x)
         return self.head(x)
 

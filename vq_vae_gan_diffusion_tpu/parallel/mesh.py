@@ -78,18 +78,32 @@ def pad_to_multiple(batch: Any, multiple: int) -> Any:
     return jax.tree_util.tree_map(pad, batch), real
 
 
+# Megatron-style split of the transformer block: the first matmul of each
+# pair (attention q/k/v, MLP fc1) is column-parallel (output features
+# sharded), the second (attention out-proj, MLP fc2) row-parallel (input
+# features sharded) so activations stay 'model'-sharded between them and
+# GSPMD inserts exactly one psum per block half. Names must match the REAL
+# flax modules in models/mingpt.py (query/key/value/proj, fc1/fc2); the
+# generic aliases (qkv/fc_in/attn_proj/fc_out) are kept for packed variants.
+_COLUMN_PARALLEL = ("query", "key", "value", "fc1", "qkv", "fc_in", "head")
+_ROW_PARALLEL = ("proj", "fc2", "attn_proj", "fc_out")
+
+
 def gpt_param_sharding_rules(path: tuple, value: Any) -> P:
     """PartitionSpec for GPT params under tensor parallelism.
 
-    Attention qkv/proj and MLP kernels are sharded over the 'model' axis on
-    their feature dimension; everything else is replicated. Used by
+    Attention q/k/v + MLP fc1 kernels are column-sharded and proj/fc2
+    row-sharded over the 'model' axis; the bias-free vocab head is
+    column-sharded (vocab dim). Everything else is replicated. Used by
     ``train.vq_transformer_worker`` and the multi-chip dryrun.
     """
-    name = "/".join(str(p) for p in path)
-    if value.ndim == 2:
-        if any(k in name for k in ("qkv", "fc_in")):
+    parts = [str(p).strip("'[]") for p in path]
+    name = "/".join(parts)
+    if value.ndim == 2 and name.endswith("kernel"):
+        module = parts[-2] if len(parts) >= 2 else ""
+        if any(module == k or k in module for k in _COLUMN_PARALLEL):
             return P(None, MODEL_AXIS)          # column parallel
-        if any(k in name for k in ("attn_proj", "fc_out")):
+        if any(module == k or k in module for k in _ROW_PARALLEL):
             return P(MODEL_AXIS, None)          # row parallel
     return P()
 
