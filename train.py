@@ -100,7 +100,12 @@ def main(argv=None) -> int:
     from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     logger.info("devices: %s", jax.devices())
-    mesh = create_mesh()
+    # trainer.mesh_model_parallel > 1 gives the mesh a real 'model' axis so
+    # param_sharding: tp / tp_fsdp actually shard (with the default 1-wide
+    # axis, model-axis PartitionSpecs are no-ops)
+    mp = int(config.trainer.get("mesh_model_parallel", 1) or 1)
+    mesh = create_mesh(model_parallel=mp)
+    logger.info("mesh: %s", dict(mesh.shape))
     if args.debug:
         # reference batch 2 (train.py:37), rounded up to the data-parallel
         # axis so the shard math stays valid on multi-device meshes
