@@ -43,13 +43,15 @@ run() { # run <name> <timeout_s> <cmd...>
   echo "$(date -u +%H:%M:%S) DONE $name rc=$?" >> "$OUT/status"
 }
 
+# flagship first: short healthy windows must lock in the headline number
+# before the exploratory measurements get a chance to eat the window
+run bench            900  python bench.py
 run bench_bottleneck 1800 python tools/bench_bottleneck.py
+run profile_vqgan256 1500 python tools/profile_vqgan_256.py
+run bench_int8       1200 python tools/bench_int8.py
 run check_prng       900  python tools/check_prng_kernel.py
 run profile_discrete 1800 python tools/profile_discrete.py
-run bench_int8       1200 python tools/bench_int8.py
-run profile_vqgan256 1500 python tools/profile_vqgan_256.py
 run time_to_quality  1200 python tools/time_to_quality.py
 run bench_suite      3600 python bench_suite.py
-run bench            900  python bench.py
 touch "$OUT/DONE"
 echo "$(date -u +%F' '%H:%M:%S) queue complete" >> "$OUT/status"
