@@ -43,6 +43,51 @@ def test_vqgan_worker_step_and_warmup(tiny_config, rng):
     assert float(m3["lambda"]) >= 0.0
 
 
+def test_vqgan_worker_remat_matches(tiny_config, rng):
+    """architecture.vqvae.remat must be semantics-preserving.
+
+    Forward metrics from the same state must agree to float noise, and the
+    VQVAE gradients under ``jax.checkpoint`` must match the plain backward to
+    reassociation tolerance.  Post-Adam params are deliberately NOT compared:
+    Adam's first step is ~lr·sign(g), so a 1e-6 reassociation wiggle on a
+    near-zero gradient flips the whole update — that is optimizer
+    amplification, not a remat bug.
+    """
+    from vq_vae_gan_diffusion_tpu.train.vqgan_worker import VQGANVQVAEWorker
+    cfg = tiny_config.replace_path("architecture.model_name", "vqgan")
+    w0 = VQGANVQVAEWorker(cfg, _run_dir(), debug=True)
+    w1 = VQGANVQVAEWorker(cfg.replace_path("architecture.vqvae.remat", True),
+                          _run_dir(), debug=True)
+    state = w0.init_state()
+    x = _batch(rng)
+    _, m0 = w0.train_step(state, x, rng)
+    _, m1 = w1.train_step(state, x, rng)
+    for k in ("vq_loss", "q_loss", "perceptual_rec_loss", "lambda"):
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+    # Gradient-level check: same loss, plain vs checkpointed forward.
+    model = w0.model
+    params = state.vqvae_params
+
+    def mk_loss(fwd):
+        def loss(p):
+            decoded, _, q_loss = fwd(p, x)
+            return jnp.mean(jnp.square(decoded - x)) + q_loss
+        return loss
+
+    plain = lambda p, a: model.apply({"params": p}, a)  # noqa: E731
+    g0 = jax.jit(jax.grad(mk_loss(plain)))(params)
+    g1 = jax.jit(jax.grad(mk_loss(jax.checkpoint(plain))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(a))), float(np.max(np.abs(b))))
+        if scale < 1e-4:
+            continue  # gradient-dead leaf: both sides are pure float noise
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-4 * scale)
+
+
 def test_vae_worker_step_and_sample(tiny_config, rng):
     from vq_vae_gan_diffusion_tpu.train.vae_worker import VAEWorker
     cfg = tiny_config.replace_path("architecture.model_name", "vae")

@@ -73,7 +73,7 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
                     disc_factor: float, disc_start: int,
                     perceptual_factor: float, rec_factor: float,
                     use_hand_mask: bool = False,
-                    mean=(0.5,), std=(0.5,)):
+                    mean=(0.5,), std=(0.5,), remat: bool = False):
     """Build the jitted (state, imgs, rng, lpips_params) -> (state, metrics) step.
 
     ``lpips_params`` is an explicit argument (not a closure capture): closed-over
@@ -83,6 +83,14 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
     is_gan = disc is not None
     mean_arr = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
     std_arr = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+
+    # architecture.vqvae.remat: rematerialize the VQVAE forward in backward —
+    # trades ~⅓ extra forward FLOPs for not holding every conv activation of
+    # the 256² stacks in HBM (enables bigger per-chip batches; A/B'd in
+    # tools/profile_vqgan_256.py before flipping any config)
+    model_fwd = lambda p, x: model.apply({"params": p}, x)  # noqa: E731
+    if remat:
+        model_fwd = jax.checkpoint(model_fwd)
 
     def disc_apply(params, stats, x, mutable: bool):
         variables = {"params": params, "batch_stats": stats}
@@ -146,7 +154,7 @@ def make_train_step(model: VQVAE, disc: Optional[Discriminator], lpips: LPIPS,
             lam = 0.0
 
         def total_loss(vq_params, disc_params):
-            decoded, indices, q_loss = model.apply({"params": vq_params}, imgs)
+            decoded, indices, q_loss = model_fwd(vq_params, imgs)
             prl = perceptual_rec(imgs, decoded, mask)
 
             if not is_gan:
@@ -244,7 +252,8 @@ class VQGANVQVAEWorker(BaseWorker):
             disc_factor=float(dcfg.disc_factor), disc_start=int(dcfg.disc_start),
             perceptual_factor=float(tr.perceptual_loss_factor),
             rec_factor=float(tr.rec_loss_factor),
-            use_hand_mask=self.use_hand_mask, mean=self.mean, std=self.std)
+            use_hand_mask=self.use_hand_mask, mean=self.mean, std=self.std,
+            remat=bool(config.architecture.vqvae.get("remat", False)))
 
     def init_state(self) -> VQGANState:
         rng = jax.random.PRNGKey(self.seed)
