@@ -7,10 +7,16 @@
 # The axon tunnel spends long windows degraded (~2 TFLOP/s) or fully wedged
 # (probe subprocess hangs — hence the per-probe timeout); it recovers by
 # itself. Bench results from a degraded window are mirages (CLAUDE.md), so
-# nothing here runs until a probe clears the bar.
+# nothing here runs until a probe clears the bar — and because the tunnel can
+# degrade again MID-QUEUE, health is re-probed before every job and any job
+# that started in a window that later went bad is marked SUSPECT and re-run
+# when health returns.
+#
+# Results live in the repo (zlog/tpu_queue/), not /tmp: the VM restarts
+# between sessions and /tmp is wiped (it ate one degraded-window run already).
 set -u
 cd "$(dirname "$0")/.."
-OUT=${OUT:-/tmp/tpu_queue_out}
+OUT=${OUT:-zlog/tpu_queue}
 mkdir -p "$OUT"
 
 probe() {
@@ -28,30 +34,54 @@ sys.exit(0 if tf > 80 else 1)
 EOF
 }
 
-echo "$(date -u +%F' '%H:%M:%S) queue armed" >> "$OUT/status"
-while true; do
-  TF=$(probe) && break
-  echo "$(date -u +%H:%M:%S) degraded ${TF:-0} TFLOP/s" >> "$OUT/status"
-  sleep 120
-done
+wait_healthy() { # blocks until a probe clears the bar; echoes the TFLOP/s
+  local tf
+  while true; do
+    tf=$(probe) && { echo "$tf"; return 0; }
+    echo "$(date -u +%H:%M:%S) degraded ${tf:-0} TFLOP/s" >> "$OUT/status"
+    sleep 120
+  done
+}
+
+echo "$(date -u +%F' '%H:%M:%S) queue armed (pid $$)" >> "$OUT/status"
+TF=$(wait_healthy)
 echo "$(date -u +%F' '%H:%M:%S) HEALTHY ${TF} TFLOP/s — running queue" >> "$OUT/status"
 
-run() { # run <name> <timeout_s> <cmd...>
+run() { # run <name> <timeout_s> <cmd...> — health-gated, post-checked
   local name=$1 to=$2; shift 2
-  echo "$(date -u +%H:%M:%S) START $name" >> "$OUT/status"
+  [ -e "$OUT/$name.ok" ] && return 0  # done in an earlier pass/session
+  # pre-probe: the window may have closed while the previous job ran
+  local tf
+  if ! tf=$(probe); then
+    echo "$(date -u +%H:%M:%S) window closed (${tf:-0} TFLOP/s) before $name — rewaiting" >> "$OUT/status"
+    tf=$(wait_healthy)
+    echo "$(date -u +%H:%M:%S) window reopened ${tf} TFLOP/s" >> "$OUT/status"
+  fi
+  echo "$(date -u +%H:%M:%S) START $name (probe ${tf} TFLOP/s)" >> "$OUT/status"
   timeout "$to" "$@" > "$OUT/$name.log" 2>&1
-  echo "$(date -u +%H:%M:%S) DONE $name rc=$?" >> "$OUT/status"
+  local rc=$?
+  # post-probe: if the chip is degraded NOW, the numbers above are suspect
+  if tf=$(probe); then
+    echo "$(date -u +%H:%M:%S) DONE $name rc=$rc (post-probe ${tf} TFLOP/s)" >> "$OUT/status"
+    [ $rc -eq 0 ] && touch "$OUT/$name.ok"
+  else
+    mv "$OUT/$name.log" "$OUT/$name.suspect.log" 2>/dev/null
+    echo "$(date -u +%H:%M:%S) SUSPECT $name rc=$rc (degraded ${tf:-0} TFLOP/s after) — will re-run" >> "$OUT/status"
+  fi
 }
 
 # flagship first: short healthy windows must lock in the headline number
-# before the exploratory measurements get a chance to eat the window
-run bench            900  python bench.py
-run bench_bottleneck 1800 python tools/bench_bottleneck.py
-run profile_vqgan256 1500 python tools/profile_vqgan_256.py
-run bench_int8       1200 python tools/bench_int8.py
-run check_prng       900  python tools/check_prng_kernel.py
-run profile_discrete 1800 python tools/profile_discrete.py
-run time_to_quality  1200 python tools/time_to_quality.py
-run bench_suite      3600 python bench_suite.py
+# before the exploratory measurements get a chance to eat the window.
+# Two passes: anything marked SUSPECT in pass 1 gets one retry.
+for pass in 1 2; do
+  run bench            900  python bench.py
+  run bench_bottleneck 1800 python tools/bench_bottleneck.py
+  run profile_vqgan256 1500 python tools/profile_vqgan_256.py
+  run bench_int8       1200 python tools/bench_int8.py
+  run check_prng       900  python tools/check_prng_kernel.py
+  run profile_discrete 1800 python tools/profile_discrete.py
+  run time_to_quality  1200 python tools/time_to_quality.py
+  run bench_suite      3600 python bench_suite.py
+done
 touch "$OUT/DONE"
 echo "$(date -u +%F' '%H:%M:%S) queue complete" >> "$OUT/status"
