@@ -136,6 +136,9 @@ def main() -> int:
     book = jnp.zeros((1024, 256), jnp.float32)
     check("codebook_argmin",
           lambda: (cbp.nearest_indices_pallas, (z, book)))
+    check("codebook_argmin_bf16",
+          lambda: (lambda a, b: cbp.nearest_indices_pallas(a, b, "bf16"),
+                   (z, book)))
 
     print()
     if FAILURES:
