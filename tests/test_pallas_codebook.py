@@ -52,3 +52,27 @@ def test_pallas_nan_rows_stay_in_range(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(nearest_indices_pallas(z, cb))
     assert got.min() >= 0 and got.max() < k
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pins MXU operand precision on real TPU")
+def test_f32_argmin_exact_on_tpu(rng):
+    """The TPU default dot precision bf16-rounds f32 operands, which flips
+    ~0.5% of argmins vs the true f32 distance. Both production f32 paths
+    (XLA spec and kernel) must say precision=HIGHEST and match the direct
+    elementwise distance exactly (measured regression, 2026-08-19)."""
+    n, k, d = 2048, 256, 64
+    z = jax.random.normal(rng, (n, d), jnp.float32)
+    cb = jax.random.normal(jax.random.PRNGKey(1), (k, d), jnp.float32)
+    direct = np.asarray(
+        jnp.argmin(jnp.sum(jnp.square(z[:, None, :] - cb[None]), -1), axis=1))
+    np.testing.assert_array_equal(np.asarray(nearest_codebook_indices(z, cb)),
+                                  direct)
+    np.testing.assert_array_equal(np.asarray(nearest_indices_pallas(z, cb)),
+                                  direct)

@@ -38,9 +38,13 @@ def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array) -> jax.Arra
     """
     zf = z_flat.astype(jnp.float32)
     cb = codebook.astype(jnp.float32)
-    # [N, K] = -2 z·eᵀ + ||e||²  (MXU matmul + broadcast add)
+    # [N, K] = -2 z·eᵀ + ||e||²  (MXU matmul + broadcast add). precision
+    # HIGHEST: the TPU default bf16-rounds the operands, which flips ~0.5% of
+    # argmins vs the true f32 distance (measured on v5e); the exact multi-pass
+    # matmul costs ~3× on a 4.3 GFLOP op that sits at the dispatch floor.
     dist = (-2.0) * jax.lax.dot_general(
-        zf, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        zf, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     ) + jnp.sum(cb * cb, axis=1)[None, :]
     return jnp.argmin(dist, axis=1).astype(jnp.int32)
 

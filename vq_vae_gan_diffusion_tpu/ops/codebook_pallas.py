@@ -47,10 +47,15 @@ def _kernel(z_ref, cb_ref, cb_sq_ref, out_ref, *, bf16_scores: bool):
     if bf16_scores:
         z = z.astype(jnp.bfloat16)
         cb = cb.astype(jnp.bfloat16)
-    # dist = -2 z·cbᵀ + ||cb||²   (row-constant ||z||² omitted)
+    # dist = -2 z·cbᵀ + ||cb||²   (row-constant ||z||² omitted). f32 mode
+    # must say precision=HIGHEST explicitly: the TPU default bf16-rounds the
+    # operands even with an f32 accumulator, silently making "f32" ≡ "bf16"
+    # (measured: 0.5% argmin flips vs the true f32 distance).
     scores = jax.lax.dot_general(
         z, cb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # MXU [TILE_N, K]
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.DEFAULT if bf16_scores
+                   else jax.lax.Precision.HIGHEST))  # MXU [TILE_N, K]
     dist = cb_sq_ref[:] - 2.0 * scores               # [1, K] broadcast
     # argmin via two lane-reductions (first-min-index semantics): a direct
     # jnp.argmin along lanes is the measured v1 bottleneck. An all-NaN row
