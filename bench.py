@@ -44,7 +44,7 @@ _EMITTED_FINAL = False  # a real measurement line was printed
 _EMITTED_OUTAGE = False
 
 
-def _outage_line(reason: str) -> str:
+def _outage_line(reason: str, extra: dict | None = None) -> str:
     last = {}
     try:
         import re
@@ -59,12 +59,12 @@ def _outage_line(reason: str) -> str:
     return json.dumps({
         "metric": "vqgan_mnist_train_images_per_sec_per_chip",
         "value": 0.0, "unit": "images/s/chip", "vs_baseline": 0.0,
-        "error": reason, **last})
+        "error": reason, **last, **(extra or {})})
 
 
-def _emit_outage(reason: str) -> None:
+def _emit_outage(reason: str, extra: dict | None = None) -> None:
     global _EMITTED_OUTAGE
-    print(_outage_line(reason), flush=True)
+    print(_outage_line(reason, extra), flush=True)
     _EMITTED_OUTAGE = True
 
 
@@ -182,6 +182,16 @@ def main() -> int:
             if not _EMITTED_OUTAGE:
                 _emit_outage("tpu tunnel unreachable for the whole wait window")
             return 1
+        if tf <= 60.0:
+            # wait window expired with the chip alive but DEGRADED (the
+            # ~2 TFLOP/s mode): a measurement now would print a mirage-low
+            # number as the last JSON line and override the carry-forward
+            # record. Refuse to measure; refresh the outage line with the
+            # final probe so the record says exactly what happened.
+            _emit_outage(f"recovery window expired with the chip still "
+                         f"degraded ({tf:.1f} TFLOP/s); refusing to record a "
+                         "degraded-mode measurement")
+            return 1
 
     import jax
     import jax.numpy as jnp
@@ -218,6 +228,23 @@ def main() -> int:
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt / n_chips
+
+    if backend != "cpu":
+        # the chip can degrade MID-measurement (the window that opened the
+        # wait loop can close any time): re-probe before trusting the number.
+        a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
+        g = jax.jit(lambda a: jax.lax.scan(
+            lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
+        float(np.asarray(g(a)).sum())
+        t0 = time.perf_counter()
+        float(np.asarray(g(a)).sum())
+        tf_post = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
+        if tf_post <= 60.0:
+            _emit_outage(
+                f"chip degraded during/after the measurement (post-probe "
+                f"{tf_post:.1f} TFLOP/s) — the measured rate is not trustworthy",
+                extra={"suspect_images_per_sec": round(ips, 2)})
+            return 1
     base_dir = os.path.join(os.path.dirname(__file__), "baselines")
     os.makedirs(base_dir, exist_ok=True)
     vs = 1.0

@@ -62,6 +62,25 @@ def test_outage_line_emitted_on_first_degraded_probe(monkeypatch, capsys):
     assert rec.get("last_measured_images_per_sec", 0) > 0
 
 
+def test_expired_window_still_degraded_refuses_to_measure(monkeypatch, capsys):
+    # Deadline expiry with the chip alive-but-degraded (the ~2 TFLOP/s mode):
+    # bench must NOT fall through and measure — a mirage-low number printed as
+    # the last JSON line would override the carry-forward record.
+    monkeypatch.setattr(bench, "_BACKEND_SRC", "print('axon')")
+    monkeypatch.setattr(bench, "_EMITTED_OUTAGE", False)
+    monkeypatch.setattr(bench, "_EMITTED_FINAL", False)
+    monkeypatch.setattr(bench, "_wait_for_healthy_device",
+                        lambda max_wait_s=3300.0: 2.3)
+    rc = bench.main()
+    assert rc == 1
+    recs = _json_lines(capsys.readouterr().out)
+    assert recs, "an outage line must be printed"
+    rec = recs[-1]
+    assert rec["value"] == 0.0
+    assert "degraded" in rec["error"]
+    assert rec.get("last_measured_images_per_sec", 0) > 0
+
+
 def test_sigterm_during_backend_probe_still_prints_json(tmp_path):
     # Full-wedge simulation: the backend probe subprocess hangs; SIGTERM
     # arrives (driver timeout) while bench.main() is blocked on it.
