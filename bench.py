@@ -109,16 +109,14 @@ def build():
     return worker, state, imgs, rng
 
 
-_PROBE_SRC = """
-import time
-import jax, jax.numpy as jnp, numpy as np
-a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
-g = jax.jit(lambda a: jax.lax.scan(
-    lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
-float(np.asarray(g(a)).sum())
-t0 = time.perf_counter(); float(np.asarray(g(a)).sum())
-print(137e9 * 20 / (time.perf_counter() - t0) / 1e12)
-"""
+# Canonical probe (tools/_tpu_probe.py): times the matmul chain with an
+# O(1)-byte on-device-reduced readback. The old inline probe fetched the full
+# 32 MB result inside the timed region, so its reading was bounded by tunnel
+# bandwidth, not chip health — it was never observed passing its own bar on
+# healthy hardware and could have deadlocked the health gate forever.
+_PROBE_SRC = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", "_tpu_probe.py")).read()
+_HEALTHY_TFLOPS = 45.0  # degraded mode reads ~2-3; healthy >70 (see probe)
 
 
 def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:
@@ -143,7 +141,7 @@ def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:
             tf = float(out.stdout.strip().splitlines()[-1])
         except (subprocess.TimeoutExpired, ValueError, IndexError):
             tf = 0.0
-        if tf > 60 or time.time() > deadline:
+        if tf > _HEALTHY_TFLOPS or time.time() > deadline:
             return tf
         if not _EMITTED_OUTAGE:
             _emit_outage(f"tpu degraded ({tf:.1f} TFLOP/s at first probe); "
@@ -182,7 +180,7 @@ def main() -> int:
             if not _EMITTED_OUTAGE:
                 _emit_outage("tpu tunnel unreachable for the whole wait window")
             return 1
-        if tf <= 60.0:
+        if tf <= _HEALTHY_TFLOPS:
             # wait window expired with the chip alive but DEGRADED (the
             # ~2 TFLOP/s mode): a measurement now would print a mirage-low
             # number as the last JSON line and override the carry-forward
@@ -232,14 +230,11 @@ def main() -> int:
     if backend != "cpu":
         # the chip can degrade MID-measurement (the window that opened the
         # wait loop can close any time): re-probe before trusting the number.
-        a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
-        g = jax.jit(lambda a: jax.lax.scan(
-            lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
-        float(np.asarray(g(a)).sum())
-        t0 = time.perf_counter()
-        float(np.asarray(g(a)).sum())
-        tf_post = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
-        if tf_post <= 60.0:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from _tpu_probe import measure as _probe_measure
+        tf_post = _probe_measure()
+        if tf_post <= _HEALTHY_TFLOPS:
             _emit_outage(
                 f"chip degraded during/after the measurement (post-probe "
                 f"{tf_post:.1f} TFLOP/s) — the measured rate is not trustworthy",

@@ -112,3 +112,30 @@ def test_sigterm_during_backend_probe_still_prints_json(tmp_path):
     assert "error" in rec
     # killed by SIGTERM (negative returncode) — the handler re-raises
     assert p.returncode != 0
+
+def test_probe_source_is_dash_c_safe_and_canonical():
+    # bench.py executes tools/_tpu_probe.py's SOURCE via `python -c`, where
+    # __file__ is undefined — the probe's __main__ block must tolerate that
+    # (NameError fallback) or every health probe dies before printing and the
+    # gate deadlocks. Also pin that bench._PROBE_SRC really is the canonical
+    # probe file (single source of truth with tools/tpu_recovery_queue.sh).
+    probe_path = os.path.join(REPO, "tools", "_tpu_probe.py")
+    src = open(probe_path).read()
+    assert bench._PROBE_SRC == src
+    compile(src, "<probe>", "exec")          # syntactically valid
+    assert "except NameError" in src          # __file__ fallback present
+    # the timed readback must be a scalar, not the 32 MB result array
+    assert "jnp.sum" in src and ".sum()" not in src
+
+
+def test_probe_bar_separates_observed_modes():
+    # Degraded tunnel mode reads ~0-3 TFLOP/s on the probe chain; the bar
+    # must clear it by an order of magnitude but stay below any plausible
+    # healthy 4096^2-bf16-matmul reading (>70). 45 was chosen; pin the range
+    # so a future edit can't silently reintroduce an unreachable bar.
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import _tpu_probe
+    assert 10 <= _tpu_probe.DEFAULT_BAR_TFLOPS <= 60
+    assert bench._HEALTHY_TFLOPS == _tpu_probe.DEFAULT_BAR_TFLOPS
+    queue = open(os.path.join(REPO, "tools", "tpu_recovery_queue.sh")).read()
+    assert f"_tpu_probe.py {int(_tpu_probe.DEFAULT_BAR_TFLOPS)}" in queue

@@ -118,15 +118,11 @@ def timeit(tag, fn, x, p):
 
 
 def main():
-    # health probe: a matmul chain that should run at >100 TFLOP/s on a v5e
-    a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
-    g = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
-    float(np.asarray(g(a)).sum())
-    t0 = time.perf_counter(); float(np.asarray(g(a)).sum())
-    tf = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
+    # health banner: canonical scalar-readback probe (tools/_tpu_probe.py)
+    from _tpu_probe import DEFAULT_BAR_TFLOPS, measure
+    tf = measure()
     print(f"health: matmul chain {tf:.0f} TFLOP/s "
-          f"({'OK' if tf > 80 else 'DEGRADED — numbers below are invalid'})",
+          f"({'OK' if tf > DEFAULT_BAR_TFLOPS else 'DEGRADED — numbers below are invalid'})",
           flush=True)
 
     shapes = [(16, 256, 96, 64), (16, 128, 48, 128), (16, 64, 24, 256),

@@ -46,14 +46,13 @@ def timeit(tag, fn, x):
 
 
 def health():
-    a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
-    g = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (jnp.tanh(c @ a), None), a, None, length=20)[0])
-    float(np.asarray(g(a)).sum())
-    t0 = time.perf_counter(); float(np.asarray(g(a)).sum())
-    tf = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
+    # canonical scalar-readback probe (tools/_tpu_probe.py) — the old inline
+    # probe timed a 32 MB readback, bounding its reading by tunnel bandwidth
+    from _tpu_probe import DEFAULT_BAR_TFLOPS, measure
+    tf = measure()
     print(f"health: {tf:.0f} TFLOP/s "
-          f"({'OK' if tf > 80 else 'DEGRADED — invalid numbers'})", flush=True)
+          f"({'OK' if tf > DEFAULT_BAR_TFLOPS else 'DEGRADED — invalid numbers'})",
+          flush=True)
     return tf
 
 

@@ -19,19 +19,12 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-zlog/tpu_queue}
 mkdir -p "$OUT"
 
+# Canonical probe (tools/_tpu_probe.py): scalar-readback timing, bar 45
+# TFLOP/s. The old inline probe timed a 32 MB device->host fetch, so its
+# reading was tunnel-bandwidth-bound and its >80 bar may have been
+# unreachable even on a healthy chip (it was never observed passing).
 probe() {
-  timeout 300 python - <<'EOF'
-import time, sys
-import jax, jax.numpy as jnp, numpy as np
-a = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.bfloat16)
-g = jax.jit(lambda a: jax.lax.scan(lambda c, _: (jnp.tanh(c @ a), None),
-                                   a, None, length=20)[0])
-float(np.asarray(g(a)).sum())
-t0 = time.perf_counter(); float(np.asarray(g(a)).sum())
-tf = 137e9 * 20 / (time.perf_counter() - t0) / 1e12
-print(f"{tf:.1f}")
-sys.exit(0 if tf > 80 else 1)
-EOF
+  timeout 300 python tools/_tpu_probe.py 45
 }
 
 wait_healthy() { # blocks until a probe clears the bar; echoes the TFLOP/s
