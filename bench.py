@@ -116,7 +116,11 @@ def build():
 # healthy hardware and could have deadlocked the health gate forever.
 _PROBE_SRC = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tools", "_tpu_probe.py")).read()
-_HEALTHY_TFLOPS = 45.0  # degraded mode reads ~2-3; healthy >70 (see probe)
+# Single source of truth for the bar: tools/_tpu_probe.py (jax is only
+# imported inside measure(), so importing the module here is hang-safe).
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools"))
+from _tpu_probe import DEFAULT_BAR_TFLOPS as _HEALTHY_TFLOPS  # noqa: E402
 
 
 def _wait_for_healthy_device(max_wait_s: float = 3300.0) -> float:

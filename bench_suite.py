@@ -154,6 +154,29 @@ def main() -> int:
         print("ddpm chain FAILED:", results[
             "ddpm_1000step_sampling_b16_chain"]["error"], flush=True)
 
+    # per-block measured-winner policy (fused_sampler: auto — whole-block
+    # chain kernels ≤128ch, packed-resident per-stage above; shuffle_infer.
+    # AUTO_WHOLE_MAX_CH) — guarded like the chain row
+    try:
+        proc_a = GaussianDiffusion3D((256, 96), 1, T, T,
+                                     lambda x, c, t: apply_folded(
+                                         folded, x, t, use_pallas="auto",
+                                         dtype=jnp.bfloat16).astype(x.dtype),
+                                     "noise_mse", "ddpm")
+        sample16a = jax.jit(lambda rng: proc_a.ddpm_sample(rng, 16, False,
+                                                           True))
+        dt = timeit(sample16a, jax.random.PRNGKey(0), iters=2, warmup=1)
+        results["ddpm_1000step_sampling_b16_auto"] = {
+            "seconds_per_chain": round(dt, 2),
+            "denoise_steps_per_sec": round(T / dt, 1)}
+        print("ddpm auto", results["ddpm_1000step_sampling_b16_auto"],
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        results["ddpm_1000step_sampling_b16_auto"] = {
+            "error": f"{type(e).__name__}: {e}"[:300]}
+        print("ddpm auto FAILED:", results[
+            "ddpm_1000step_sampling_b16_auto"]["error"], flush=True)
+
     # 3b: discrete VQ-diffusion (mask-and-replace) sampling chain --------------
     # Reference Diffusion_VQ_Official.sample (diffusion_vq_official.py:515-577):
     # full reverse loop, ShuffleNet U-Net over the [K, N] log-onehot image.

@@ -12,6 +12,7 @@ pin the two guarantees that prevent a repeat:
 
 import json
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -124,8 +125,27 @@ def test_probe_source_is_dash_c_safe_and_canonical():
     assert bench._PROBE_SRC == src
     compile(src, "<probe>", "exec")          # syntactically valid
     assert "except NameError" in src          # __file__ fallback present
-    # the timed readback must be a scalar, not the 32 MB result array
-    assert "jnp.sum" in src and ".sum()" not in src
+    # the timed readback must be a scalar, not the 32 MB result array:
+    # chain() must end in an on-device reduction. Assert on the AST (not raw
+    # text, which comments/docstrings could satisfy or break): somewhere in
+    # measure() there is a call to *.sum (jnp.sum / lax reduction), and no
+    # bare `.sum()` METHOD call on an array (Attribute call with args=[self]
+    # pattern is indistinguishable — so instead require the jnp.sum form).
+    import ast
+    tree = ast.parse(src)
+    measure_fn = next(n for n in ast.walk(tree)
+                      if isinstance(n, ast.FunctionDef) and n.name == "measure")
+    calls = [n for n in ast.walk(measure_fn) if isinstance(n, ast.Call)]
+    def _is_mod_sum(c):  # jnp.sum(...) — module-qualified reduction
+        f = c.func
+        return (isinstance(f, ast.Attribute) and f.attr == "sum"
+                and isinstance(f.value, ast.Name) and f.value.id == "jnp")
+    def _is_method_sum(c):  # x.sum() — method form, banned in the probe
+        f = c.func
+        return (isinstance(f, ast.Attribute) and f.attr == "sum"
+                and not isinstance(f.value, ast.Name))
+    assert any(_is_mod_sum(c) for c in calls), "on-device jnp.sum reduction missing"
+    assert not any(_is_method_sum(c) for c in calls)
 
 
 def test_probe_bar_separates_observed_modes():
@@ -138,4 +158,8 @@ def test_probe_bar_separates_observed_modes():
     assert 10 <= _tpu_probe.DEFAULT_BAR_TFLOPS <= 60
     assert bench._HEALTHY_TFLOPS == _tpu_probe.DEFAULT_BAR_TFLOPS
     queue = open(os.path.join(REPO, "tools", "tpu_recovery_queue.sh")).read()
-    assert f"_tpu_probe.py {int(_tpu_probe.DEFAULT_BAR_TFLOPS)}" in queue
+    # the queue must call the probe with NO explicit bar so the probe's
+    # DEFAULT_BAR_TFLOPS stays the single source of truth (ADVICE r3)
+    assert re.search(r"_tpu_probe\.py\s*$", queue, re.M), \
+        "queue must invoke the probe bare (no duplicated bar literal)"
+    assert not re.search(r"_tpu_probe\.py\s+\d", queue)

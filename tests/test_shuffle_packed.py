@@ -521,3 +521,39 @@ def test_chain_kernel_under_mesh_dp():
         in_specs=P("data"), out_specs=P("data"), check_vma=False))
     out = sharded(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=1e-4)
+
+
+def test_full_unet_auto_inference():
+    """apply_folded(use_pallas='auto16') ≡ the flax module — the per-block
+    channel policy must produce a genuinely MIXED forward here (base 16,
+    mults (1,2): the 16ch blocks take the whole-block chain kernels, the
+    32ch blocks the packed per-stage kernels) and still match exactly."""
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
+                                                               fold_unet)
+    from vq_vae_gan_diffusion_tpu.models.unet_shuffle import ShuffleUNet
+
+    rng = jax.random.PRNGKey(11)
+    unet = ShuffleUNet(timesteps=10, time_embedding_dim=32, in_channels=1,
+                       out_channels=1, base_dim=16, dim_mults=(1, 2))
+    x = jax.random.normal(rng, (4, 32, 16, 1), jnp.float32)
+    t = jnp.array([3, 7, 1, 9], jnp.int32)
+    variables = _nontrivial(unet.init(rng, x, None, t, train=False))
+    ref = unet.apply(variables, x, None, t, train=False)
+    folded = fold_unet(variables, dtype=jnp.float32)
+    out = apply_folded(folded, x, t, use_pallas="auto16", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # default-threshold auto (every block ≤128ch here → all-chain) also matches
+    out2 = apply_folded(folded, x, t, use_pallas="auto", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-4)
+
+
+def test_resolve_sampler_mode_mapping():
+    from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (
+        resolve_sampler_mode)
+
+    assert resolve_sampler_mode(True) is False          # default → XLA spec
+    assert resolve_sampler_mode("true") is False
+    assert resolve_sampler_mode("packed") == "packed"
+    assert resolve_sampler_mode("chain") == "chain"
+    assert resolve_sampler_mode("auto") == "auto"
+    assert resolve_sampler_mode("auto64") == "auto64"

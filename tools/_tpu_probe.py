@@ -46,7 +46,11 @@ def measure() -> float:
         return jnp.sum(c.astype(jnp.float32))  # O(1)-byte readback fence
 
     g = jax.jit(chain)
-    float(np.asarray(g(a)))  # compile + warm (args now committed)
+    # Two warm-ups: the first compiles; jit recompiles ONCE when args
+    # transition uncommitted->committed shardings (CLAUDE.md gotcha), so a
+    # second execution guarantees the timed call below hits the warm cache.
+    float(np.asarray(g(a)))
+    float(np.asarray(g(a)))
     t0 = time.perf_counter()
     float(np.asarray(g(a)))  # block_until_ready does not fence on axon
     return FLOPS / (time.perf_counter() - t0) / 1e12

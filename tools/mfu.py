@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""MFU / roofline accounting for the flagship workloads (VERDICT r3 #2).
+
+BASELINE.md's north star is "images/sec/chip at speed-of-light"; raw img/s
+numbers are uninterpretable without %-of-peak. This tool compiles the three
+flagships and reports, per workload:
+
+  - XLA-counted FLOPs + bytes accessed (``compiled.cost_analysis()`` — the
+    compiler's own numbers for the exact program measured, not a hand model);
+  - achieved TFLOP/s and **MFU** (vs v5e bf16 peak 197 TFLOP/s);
+  - achieved HBM GB/s and %-of-peak (819 GB/s), and which roof binds;
+  - error bars: min/median/max over ``--windows`` timing windows.
+
+Workloads (matching BENCHMARKS.md rows / the reference's hot loops):
+  1. mnist-28² VQGAN train step, batch 200 (vqganVqvaeWorker.py:163-254)
+  2. oxford-256² VQGAN train step, batch 20
+  3. GPT 12L/16H/1024 KV-cached decode, 256 tokens, batch 16
+
+Dispatch-bound effects are amortized: each window times one multi-step
+dispatch (train) or one whole 256-token sample (decode) with a single scalar
+readback. Run on a HEALTHY tunnel; the probe gate is the caller's job
+(tools/tpu_recovery_queue.sh).
+
+Usage: python tools/mfu.py [--windows 5] [--skip 256] [--out zlog/mfu.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+V5E_PEAK_TFLOPS = 197.0     # bf16 MXU peak, TPU v5e
+V5E_HBM_GBPS = 819.0
+
+
+def cost_of(jitted, *args):
+    """(flops, bytes) from the compiled program's own cost analysis."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001
+        print(f"  cost_analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return 0.0, 0.0
+
+
+def windows_time(fn, readback, n_windows):
+    """Per-window seconds, min/median/max; fn() dispatches, readback syncs."""
+    times = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        readback(fn())
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times
+
+
+def report(tag, flops, nbytes, times, per_calls, extra=None):
+    """times are whole-window seconds over per_calls logical units."""
+    tmin, tmed = times[0], times[len(times) // 2]
+    row = {
+        "flops_per_window": flops, "bytes_per_window": nbytes,
+        "window_seconds": {"min": round(tmin, 4), "median": round(tmed, 4),
+                           "max": round(times[-1], 4), "n": len(times)},
+        "achieved_tflops": round(flops / tmin / 1e12, 1),
+        "mfu_pct": round(flops / tmin / 1e12 / V5E_PEAK_TFLOPS * 100, 1),
+        "hbm_gbps": round(nbytes / tmin / 1e9, 1),
+        "hbm_pct": round(nbytes / tmin / 1e9 / V5E_HBM_GBPS * 100, 1),
+    }
+    row["bound"] = ("compute" if row["mfu_pct"] >= row["hbm_pct"]
+                    else "hbm") if (flops and nbytes) else "unknown"
+    if extra:
+        row.update(extra)
+    print(f"{tag:28s} MFU {row['mfu_pct']:5.1f}%  "
+          f"({row['achieved_tflops']:6.1f} TF/s)  "
+          f"HBM {row['hbm_pct']:5.1f}% ({row['hbm_gbps']:6.1f} GB/s)  "
+          f"{row['bound']}-bound  "
+          f"window {tmin * 1e3:.1f}/{tmed * 1e3:.1f} ms (min/med)",
+          flush=True)
+    return row
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=20,
+                    help="train steps per timing window")
+    ap.add_argument("--out", default="zlog/mfu.json")
+    ap.add_argument("--only", choices=["mnist", "oxford", "decode"],
+                    default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vq_vae_gan_diffusion_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    if jax.default_backend() != "tpu":
+        print("WARNING: not on TPU — numbers are not v5e MFU", file=sys.stderr)
+
+    from vq_vae_gan_diffusion_tpu.config import load_config
+    from vq_vae_gan_diffusion_tpu.train.vqgan_worker import VQGANVQVAEWorker
+
+    results = {}
+    dev = jax.devices()[0]
+
+    for tag, cfg_path, batch, img, ch in [
+        ("vqgan_mnist28_b200", "configs/training_config_mnist.yml", 200, 28, 1),
+        ("vqgan_oxford256_b20", "configs/training_config_small.yml", 20, 256, 3),
+    ]:
+        if args.only and not tag.startswith(f"vqgan_{args.only}"):
+            continue
+        cfg = load_config(cfg_path)
+        cfg = cfg.replace_path("architecture.model_name", "vqgan")
+        cfg = cfg.replace_path("trainer.log_dir", "/tmp/vqgd_mfu")
+        w = VQGANVQVAEWorker(cfg, f"/tmp/vqgd_mfu/{tag}", debug=True,
+                             dtype=jnp.bfloat16)
+        state = w.init_state()
+        iters = args.iters if img <= 64 else max(args.iters // 4, 4)
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (batch, img, img, ch))
+        batches = jnp.broadcast_to(imgs, (iters,) + imgs.shape)
+        rngs = jax.random.split(jax.random.PRNGKey(1), iters)
+
+        # warm twice (compile + committed-shardings recompile); the step
+        # donates state, so thread it
+        st, m = w.train_multi_step(state, batches, rngs)
+        float(np.asarray(m["vq_loss"]))
+        st, m = w.train_multi_step(st, batches, rngs)
+        float(np.asarray(m["vq_loss"]))
+
+        flops, nbytes = cost_of(w._multi_step, st, batches, rngs,
+                                *w._step_extras())
+
+        holder = {"st": st}
+
+        def one_window():
+            holder["st"], mm = w.train_multi_step(holder["st"], batches, rngs)
+            return mm["vq_loss"]
+
+        times = windows_time(one_window,
+                             lambda x: float(np.asarray(x)), args.windows)
+        row = report(tag, flops, nbytes, times, iters, extra={
+            "steps_per_window": iters,
+            "ms_per_step": round(times[0] / iters * 1e3, 2),
+            "images_per_sec": round(batch * iters / times[0], 1)})
+        results[tag] = row
+        del w, state, st, holder
+
+    if args.only in (None, "decode"):
+        from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens
+
+        gpt = GPT(vocab_size=1024, block_size=512, n_layer=12, n_head=16,
+                  n_embd=1024, dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            gp = gpt.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 257), jnp.int32))["params"]
+        gp = jax.device_put(gp, dev)
+        B, steps = 16, 256
+        sos = jnp.zeros((B, 1), jnp.int32)
+        sample_fn = jax.jit(
+            lambda p, rng: sample_tokens(gpt, p, rng, sos, 1, steps))
+        rng = jax.random.PRNGKey(0)
+        for _ in range(2):
+            float(np.asarray(sample_fn(gp, rng)).ravel()[0])
+        flops, nbytes = cost_of(sample_fn, gp, rng)
+        times = windows_time(
+            lambda: sample_fn(gp, rng),
+            lambda x: float(np.asarray(x).ravel()[0]), args.windows)
+        results["gpt_decode_256tok_b16"] = report(
+            "gpt_decode_256tok_b16", flops, nbytes, times, steps, extra={
+                "tokens_per_sec": round(B * steps / times[0], 1)})
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"peak_tflops_bf16": V5E_PEAK_TFLOPS,
+                   "peak_hbm_gbps": V5E_HBM_GBPS, "results": results}, f,
+                  indent=2)
+    print(json.dumps({"mfu_rows": list(results)}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,7 +4,8 @@ packed unit chains, plus the non-unit glue (downsample, resize, time-mlp).
 
 Usage: python tools/profile_shuffle_fwd.py [iters]
 """
-import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import sys, os; _here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here)); sys.path.insert(0, _here)  # repo root + tools/ (robust under -m / import)
 import time
 import numpy as np
 import jax, jax.numpy as jnp

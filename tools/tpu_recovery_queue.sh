@@ -16,15 +16,28 @@
 # between sessions and /tmp is wiped (it ate one degraded-window run already).
 set -u
 cd "$(dirname "$0")/.."
-OUT=${OUT:-zlog/tpu_queue}
+OUT=${OUT:-zlog/tpu_queue_r4}
 mkdir -p "$OUT"
+
+# SINGLE-INSTANCE LOCK. This morning two armed queue instances ran
+# concurrently: the waiting one's wait_healthy probes (150-matmul chains)
+# stole the chip from the running one's jobs every 120 s, poisoning slices of
+# every measurement (zlog/tpu_queue/status shows "degraded" probe readings
+# DURING healthy-window jobs — that was contention, not the tunnel).
+exec 9> "$OUT/.lock"
+if ! flock -n 9; then
+  echo "another queue instance holds $OUT/.lock — exiting" >&2
+  exit 1
+fi
 
 # Canonical probe (tools/_tpu_probe.py): scalar-readback timing, bar 45
 # TFLOP/s. The old inline probe timed a 32 MB device->host fetch, so its
 # reading was tunnel-bandwidth-bound and its >80 bar may have been
 # unreachable even on a healthy chip (it was never observed passing).
 probe() {
-  timeout 300 python tools/_tpu_probe.py 45
+  # no explicit bar: the probe applies its own DEFAULT_BAR_TFLOPS, the
+  # single source of truth (ADVICE r3: don't duplicate the literal).
+  timeout 300 python tools/_tpu_probe.py
 }
 
 wait_healthy() { # blocks until a probe clears the bar; echoes the TFLOP/s
@@ -66,14 +79,17 @@ run() { # run <name> <timeout_s> <cmd...> — health-gated, post-checked
 # flagship first: short healthy windows must lock in the headline number
 # before the exploratory measurements get a chance to eat the window.
 # Two passes: anything marked SUSPECT in pass 1 gets one retry.
+# Round-4 queue (VERDICT r3): MFU accounting, chain-kernel localization,
+# fixed 256² profiler (r3 died on HTTP 413), overhead-fixed time-to-quality,
+# stage-2 ttq jax sides, then the full suite (incl. the new `auto` row).
 for pass in 1 2; do
   run bench            900  python bench.py
-  run bench_bottleneck 1800 python tools/bench_bottleneck.py
+  run mfu              1800 python tools/mfu.py
+  run localize_chain   1800 python tools/localize_chain_error.py
   run profile_vqgan256 1500 python tools/profile_vqgan_256.py
-  run bench_int8       1200 python tools/bench_int8.py
-  run check_prng       900  python tools/check_prng_kernel.py
-  run profile_discrete 1800 python tools/profile_discrete.py
-  run time_to_quality  1200 python tools/time_to_quality.py
+  run ttq_vqvae        1200 python tools/time_to_quality.py
+  run ttq_gpt          1500 python tools/time_to_quality.py --family gpt
+  run ttq_g3d          1500 python tools/time_to_quality.py --family gaussian3d
   run bench_suite      3600 python bench_suite.py
 done
 touch "$OUT/DONE"

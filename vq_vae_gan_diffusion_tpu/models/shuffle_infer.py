@@ -39,10 +39,43 @@ def _bottleneck(x, folded, use_pallas):
     return reference_bottleneck(x, folded)
 
 
+# Per-block kernel policy for mode "auto", from the round-4 healthy-window
+# measurements (BENCHMARKS.md, tools/bench_bottleneck.py): the whole-block
+# chain kernels win at narrow channels (2.7× at the 64ch wide-spatial stage,
+# ~parity at 128ch) where XLA's shift-add spec re-reads the activation per
+# tap, while the per-stage packed-resident kernels win at 256/512ch where
+# the whole-chain tiles spill. Channel width ≤ this bar → whole-block chain
+# kernels; wider → packed per-stage kernels.
+AUTO_WHOLE_MAX_CH = 128
+
+
+def _parse_auto(mode):
+    """'auto'/'auto64'(+'_interpret') → (True, thresh); else (False, None)."""
+    m = str(mode)
+    if m.endswith("_interpret"):
+        m = m[: -len("_interpret")]
+    if m.startswith("auto"):
+        return True, int(m[4:]) if m[4:] else AUTO_WHOLE_MAX_CH
+    return False, None
+
+
+def resolve_sampler_mode(mode):
+    """Map a config ``fused_sampler`` value to ``apply_folded``'s
+    ``use_pallas`` argument. Unknown / truthy-default values (True, "true")
+    select the BN-folded XLA spec path (False)."""
+    m = str(mode)
+    if m in ("pallas", "packed", "packed_interpret", "chain",
+             "chain_interpret", "interpret") or m.startswith("auto"):
+        return m
+    return False
+
+
 def _resolve_mode(use_pallas):
-    """'packed'/'chain' off-TPU degrade to interpret kernels (CPU tests)."""
-    if use_pallas in ("packed", "chain") and jax.default_backend() != "tpu":
-        return use_pallas + "_interpret"
+    """'packed'/'chain'/'auto*' off-TPU degrade to interpret kernels."""
+    m = str(use_pallas)
+    if ((use_pallas in ("packed", "chain") or m.startswith("auto"))
+            and jax.default_backend() != "tpu"):
+        return m + "_interpret"
     return use_pallas
 
 
@@ -183,6 +216,10 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
     at narrow channels — kept for comparison); ``'packed'`` selects the v2
     batch-packed whole-chain kernel (lane-packed images, shuffle folded into
     the pointwise weights, zero layout ops between consecutive units);
+    ``'chain'`` the v3 whole-block kernels (one launch per network block);
+    ``'auto'`` / ``'auto<N>'`` picks per block by channel width — whole-block
+    chain kernels up to N (default ``AUTO_WHOLE_MAX_CH``) channels, packed
+    per-stage kernels above, following the round-4 hardware measurements;
     ``'packed_interpret'``/``'interpret'`` are the CPU test modes.
     """
     params, stats = folded["_raw"], folded["_stats"]
@@ -196,12 +233,23 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         t_emb = params["time_embedding"]["embedding"][t].astype(dtype)
 
     mode = _resolve_mode(use_pallas)
-    chain_fused = mode in ("chain", "chain_interpret")
+    auto, auto_th = _parse_auto(mode)
+    interp_sfx = "_interpret" if str(mode).endswith("_interpret") else ""
+
+    def block_mode(units):
+        """Mode for one block; 'auto' picks by the block's channel width
+        (a folded unit's k1 is [3,3,C/2])."""
+        if not auto:
+            return mode
+        c = 2 * units[0]["k1"].shape[-1]
+        return ("chain" if c <= auto_th else "packed") + interp_sfx
 
     did_init = False
     shortcuts = []
     for ei, blk in enumerate(folded["enc"]):
         n = blk["name"]
+        bmode = block_mode(blk["units"])
+        chain_fused = bmode in ("chain", "chain_interpret")
         if chain_fused and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # whole encoder block ([init ConvBnSiLu on block 0] → chain4 →
             # shortcut → TimeMLP → stride-2 downsample) in ONE launch
@@ -212,14 +260,14 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
                 x.astype(dtype), blk["units"][:4], params[n]["down"],
                 stats[n]["down"], t_vec=h_vec,
                 init_conv=None if did_init else (ki, bi),
-                interpret=mode == "chain_interpret")
+                interpret=bmode == "chain_interpret")
             did_init = True
             shortcuts.append(shortcut)
             continue
         if not did_init:
             x = _silu(_conv(x, ki, bi, stride=1, pad=1))
             did_init = True
-        x = _chain(x, blk["units"][:4], use_pallas)
+        x = _chain(x, blk["units"][:4], bmode)
         shortcut = x
         h_vec = None
         if t_emb is not None:
@@ -228,13 +276,13 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
                 x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
                 h_vec = None
         x = _downsample(x, params[n]["down"], stats[n]["down"], dtype,
-                        use_pallas, t_vec=h_vec)
+                        bmode, t_vec=h_vec)
         shortcuts.append(shortcut)
 
     if not did_init:  # a fully-odd grid never entered the fused block
         x = _silu(_conv(x, ki, bi, stride=1, pad=1))
         did_init = True
-    x = _chain(x, folded["mid"], use_pallas)
+    x = _chain(x, folded["mid"], block_mode(folded["mid"]))
 
     fk = params["final_conv"]["kernel"].astype(dtype)
     fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)
@@ -244,6 +292,8 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         sc = shortcuts.pop()
         b, h, w, c = x.shape
         last = di == len(folded["dec"]) - 1
+        bmode = block_mode(blk["units"])
+        chain_fused = bmode in ("chain", "chain_interpret")
         if chain_fused:
             # whole decoder block (2× bilinear upsample → chain4 → TimeMLP
             # → chain1 → [final 1×1 conv on the last block]) in ONE launch;
@@ -254,15 +304,15 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
                 x.astype(dtype), sc.astype(dtype), blk["units"],
                 t_vec=h_vec, inj_after=None if h_vec is None else 4,
                 final_proj=(fk, fb) if last else None,
-                interpret=mode == "chain_interpret")
+                interpret=bmode == "chain_interpret")
             if last:
                 return x
             continue
         x = jax.image.resize(x, (b, sc.shape[1], sc.shape[2], c), "bilinear")
         x = jnp.concatenate([x, sc], axis=-1).astype(dtype)
-        x = _chain(x, blk["units"][:4], use_pallas)
+        x = _chain(x, blk["units"][:4], bmode)
         if t_emb is not None:
             x = _time_mlp(x, t_emb, params[n]["time_mlp"])
-        x = _chain(x, blk["units"][4:], use_pallas)
+        x = _chain(x, blk["units"][4:], bmode)
 
     return _conv(x, fk, fb)

@@ -163,13 +163,12 @@ class VQDiffusionComposite:
                 return out
             return fwd
         if self.fused_sampler:
-            from .shuffle_infer import apply_folded, fold_unet
+            from .shuffle_infer import (apply_folded, fold_unet,
+                                        resolve_sampler_mode)
             folded = fold_unet({"params": unet_params,
                                 "batch_stats": batch_stats or {}},
                                dtype=self.dtype)
-            mode = str(self.fused_sampler)
-            use_pallas = mode if mode in ("pallas", "packed", "packed_interpret",
-                                          "chain", "chain_interpret") else False
+            use_pallas = resolve_sampler_mode(self.fused_sampler)
 
             def fwd(x, t):
                 return apply_folded(folded, x, t, use_pallas=use_pallas,

@@ -224,14 +224,12 @@ class GaussianDiffusion3DWorker(BaseWorker):
 
         def sample(params, stats, rng, n):
             if fused:  # BN-folded shift-add inference fwd (2.1×, shuffle_infer)
-                from ..models.shuffle_infer import apply_folded, fold_unet
+                from ..models.shuffle_infer import (apply_folded, fold_unet,
+                                                    resolve_sampler_mode)
                 folded = fold_unet({"params": params, "batch_stats": stats},
                                    dtype=unet.dtype)
-                mode = str(fused)
                 process.model_fn = lambda x, c, t: apply_folded(
-                    folded, x, t,
-                    use_pallas=mode if mode in ("pallas", "packed", "packed_interpret",
-                                                "chain", "chain_interpret") else False,
+                    folded, x, t, use_pallas=resolve_sampler_mode(fused),
                     dtype=unet.dtype).astype(x.dtype)
             else:
                 model_fn, _ = bind(params, stats, False)
