@@ -312,13 +312,22 @@ def main() -> int:
 
     dt_xla = timeit(chained(nearest_codebook_indices), z, cb,
                     iters=3, warmup=2) / K
+    # the decisive column for the kernel's win-or-delete (VERDICT r3 #6):
+    # XLA at DEFAULT precision has the same bf16-rounded-scores numerics as
+    # the Pallas bf16 mode — if it matches that kernel's time, the kernel
+    # buys nothing over a one-line precision knob
+    dt_xla16 = timeit(chained(
+        lambda zz, cbk: nearest_codebook_indices(zz, cbk, "bf16")), z, cb,
+        iters=3, warmup=2) / K
     dt_pl = timeit(chained(nearest_indices_pallas), z, cb,
                    iters=3, warmup=2) / K
     dt_pl16 = timeit(chained(
         lambda zz, cbk: nearest_indices_pallas(zz, cbk, "bf16")), z, cb,
         iters=3, warmup=2) / K
     results["codebook_argmin_8192x1024x256"] = {
-        "xla_us": round(dt_xla * 1e6, 1), "pallas_us": round(dt_pl * 1e6, 1),
+        "xla_us": round(dt_xla * 1e6, 1),
+        "xla_bf16_us": round(dt_xla16 * 1e6, 1),
+        "pallas_us": round(dt_pl * 1e6, 1),
         "pallas_bf16_us": round(dt_pl16 * 1e6, 1),
         "pallas_speedup": round(dt_xla / dt_pl, 2)}
     print("codebook", results["codebook_argmin_8192x1024x256"], flush=True)

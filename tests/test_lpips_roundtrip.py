@@ -180,3 +180,71 @@ def test_lpips_grayscale_path(torch_graph, tmp_path):
                         jnp.asarray(np.transpose(y, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.asarray(got).reshape(-1), ref.reshape(-1),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_gradient_parity(torch_graph, tmp_path):
+    """∂LPIPS/∂input parity torch-vs-jax with identical injected weights
+    (VERDICT r3 #9 — the roundtrip above is forward-only, but the VQGAN step
+    BACKPROPS through the perceptual term: vqganVqvaeWorker.py:187-200).
+    Matches the worker's usage: loss = mean(lpips(x, dec)), gradient taken
+    w.r.t. the decoded image."""
+    vgg, lins = torch_graph
+    npz = tmp_path / "lpips_vgg.npz"
+    _export_npz(vgg, lins, npz)
+    params = load_lpips_params(str(npz))
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(2, 3, 16, 16)).astype(np.float32)
+    d = rng.uniform(-1, 1, size=(2, 3, 16, 16)).astype(np.float32)
+
+    # torch: d requires grad, backprop mean lpips
+    dt = torch.from_numpy(d).requires_grad_(True)
+    loss_t = _torch_lpips(vgg, lins, torch.from_numpy(x), dt).mean()
+    loss_t.backward()
+    g_ref = dt.grad.numpy()                      # [B,3,H,W]
+
+    # jax: same loss, grad w.r.t. the NHWC decoded image
+    x_j = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    def loss_j(dec):
+        return jnp.mean(LPIPS().apply({"params": params}, x_j, dec))
+
+    g_jax = jax.grad(loss_j)(jnp.asarray(np.transpose(d, (0, 2, 3, 1))))
+    g_jax = np.transpose(np.asarray(g_jax), (0, 3, 1, 2))
+
+    assert np.isfinite(g_ref).all() and np.isfinite(g_jax).all()
+    scale = np.abs(g_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(g_jax, g_ref, rtol=2e-3, atol=2e-5 * scale)
+
+
+def test_lpips_gradient_parity_grayscale(torch_graph, tmp_path):
+    """Same gradient check through the 1-channel repeat-to-RGB path (the
+    mnist training configuration): the repeat's transpose must SUM the three
+    RGB gradient contributions back into the single channel identically."""
+    vgg, lins = torch_graph
+    npz = tmp_path / "lpips_vgg.npz"
+    _export_npz(vgg, lins, npz)
+    params = load_lpips_params(str(npz))
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, size=(2, 1, 16, 16)).astype(np.float32)
+    d = rng.uniform(-1, 1, size=(2, 1, 16, 16)).astype(np.float32)
+
+    dt = torch.from_numpy(d).requires_grad_(True)
+    loss_t = _torch_lpips(vgg, lins,
+                          torch.from_numpy(x).repeat(1, 3, 1, 1),
+                          dt.repeat(1, 3, 1, 1)).mean()
+    loss_t.backward()
+    g_ref = dt.grad.numpy()
+
+    x_j = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    def loss_j(dec):
+        return jnp.mean(LPIPS().apply({"params": params}, x_j, dec))
+
+    g_jax = jax.grad(loss_j)(jnp.asarray(np.transpose(d, (0, 2, 3, 1))))
+    g_jax = np.transpose(np.asarray(g_jax), (0, 3, 1, 2))
+    scale = np.abs(g_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(g_jax, g_ref, rtol=2e-3, atol=2e-5 * scale)

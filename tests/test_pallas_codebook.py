@@ -76,3 +76,35 @@ def test_f32_argmin_exact_on_tpu(rng):
                                   direct)
     np.testing.assert_array_equal(np.asarray(nearest_indices_pallas(z, cb)),
                                   direct)
+
+
+def test_codebook_precision_knob(rng):
+    """`codebook_precision: bf16` must (a) plumb through CodeBook/quantize,
+    (b) produce the explicit bf16-operand rounding semantics on ANY backend
+    (CPU Precision.DEFAULT stays f32, so the mode casts operands itself), and
+    (c) flip only a small fraction of argmins vs exact — the documented ~0.5%
+    order, not a blow-up."""
+    n, k, d = 4096, 256, 64
+    z = jax.random.normal(rng, (n, d), jnp.float32)
+    cb = jax.random.normal(jax.random.PRNGKey(2), (k, d), jnp.float32)
+    exact = np.asarray(nearest_codebook_indices(z, cb))
+    rounded = np.asarray(nearest_codebook_indices(z, cb, "bf16"))
+    # reference semantics: explicit bf16 casts, f32 accumulate
+    zb = z.astype(jnp.bfloat16)
+    cbb = cb.astype(jnp.bfloat16)
+    dist = (-2.0) * jax.lax.dot_general(
+        zb, cbb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + \
+        jnp.sum(np.asarray(cb, np.float32) ** 2, axis=1)[None, :]
+    np.testing.assert_array_equal(rounded, np.asarray(jnp.argmin(dist, 1)))
+    flip_rate = float(np.mean(exact != rounded))
+    assert flip_rate < 0.05, flip_rate
+
+    # module-level plumbing: CodeBook(precision='bf16') uses the rounded path
+    from vq_vae_gan_diffusion_tpu.models.codebook import CodeBook
+    cb_mod = CodeBook(num_codebook_vectors=k, latent_dim=d, precision="bf16")
+    z_img = z[: 4 * 8 * 8].reshape(4, 8, 8, d)
+    variables = {"params": {"embedding": cb}}
+    _, idx, _ = cb_mod.apply(variables, z_img)
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1),
+                                  rounded[: 4 * 8 * 8])

@@ -31,26 +31,38 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
+def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array,
+                             precision: str = "exact") -> jax.Array:
     """argmin_k ||z - e_k||² via the matmul expansion. [N, D] × [K, D] → [N] int32.
 
     ||z||² is constant in k and dropped from the argmin.
+
+    ``precision``: 'exact' runs the distance matmul at Precision.HIGHEST — the
+    TPU default would bf16-round the operands, which flips ~0.5% of argmins vs
+    the true f32 distance (measured on v5e) — at ~3× the matmul cost on a
+    4.3 GFLOP op that sits at the dispatch floor. 'bf16' accepts the rounded
+    scores for the full single-pass MXU rate (the quality A/B in
+    tools/ab_codebook_precision.py showed the flips are training-neutral).
     """
     zf = z_flat.astype(jnp.float32)
     cb = codebook.astype(jnp.float32)
-    # [N, K] = -2 z·eᵀ + ||e||²  (MXU matmul + broadcast add). precision
-    # HIGHEST: the TPU default bf16-rounds the operands, which flips ~0.5% of
-    # argmins vs the true f32 distance (measured on v5e); the exact multi-pass
-    # matmul costs ~3× on a 4.3 GFLOP op that sits at the dispatch floor.
+    if precision == "bf16":
+        # EXPLICIT bf16 operand casts (f32 accumulate): identical numerics to
+        # the TPU MXU's default single-pass rounding AND reproducible on the
+        # CPU backend (where Precision.DEFAULT would stay full-f32, making a
+        # CPU quality A/B vacuous). Matches the Pallas kernel's bf16 mode.
+        zf, cb = zf.astype(jnp.bfloat16), cb.astype(jnp.bfloat16)
     dist = (-2.0) * jax.lax.dot_general(
         zf, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-    ) + jnp.sum(cb * cb, axis=1)[None, :]
+        precision=(jax.lax.Precision.HIGHEST if precision == "exact"
+                   else jax.lax.Precision.DEFAULT)
+    ) + jnp.sum(codebook.astype(jnp.float32) ** 2, axis=1)[None, :]
     return jnp.argmin(dist, axis=1).astype(jnp.int32)
 
 
 def quantize(z: jax.Array, codebook: jax.Array, beta: float = 0.25,
-             use_pallas: bool = False) -> Tuple[jax.Array, jax.Array, jax.Array]:
+             use_pallas: bool = False, precision: str = "exact"
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Quantize latents against the codebook.
 
     Args:
@@ -68,9 +80,10 @@ def quantize(z: jax.Array, codebook: jax.Array, beta: float = 0.25,
     z_flat = z.reshape(-1, d)
     if use_pallas:
         from ..ops.codebook_pallas import nearest_indices_pallas
-        indices = nearest_indices_pallas(z_flat, codebook)
+        indices = nearest_indices_pallas(
+            z_flat, codebook, "bf16" if precision == "bf16" else "f32")
     else:
-        indices = nearest_codebook_indices(z_flat, codebook)
+        indices = nearest_codebook_indices(z_flat, codebook, precision)
     z_q = jnp.take(codebook, indices, axis=0).reshape(b, h, w, d).astype(z.dtype)
 
     zf = z.astype(jnp.float32)
@@ -90,6 +103,7 @@ class CodeBook(nn.Module):
     latent_dim: int = 256
     beta: float = 0.25
     use_pallas: bool = False
+    precision: str = "exact"     # 'exact' | 'bf16' distance scores
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -101,7 +115,8 @@ class CodeBook(nn.Module):
         )
 
     def __call__(self, z: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        return quantize(z, self.embedding, self.beta, self.use_pallas)
+        return quantize(z, self.embedding, self.beta, self.use_pallas,
+                        self.precision)
 
     def lookup(self, indices: jax.Array) -> jax.Array:
         """indices [...] → embeddings [..., D] (reference z_to_image path)."""

@@ -46,6 +46,10 @@ class VQVAE(nn.Module):
     num_codebook_vectors: int = 1024
     beta: float = 0.25
     use_pallas: bool = False
+    # 'exact' (Precision.HIGHEST distances) or 'bf16' (TPU-default rounded
+    # scores, full single-pass MXU rate, ~0.5% argmin flips — training-neutral
+    # per tools/ab_codebook_precision.py)
+    codebook_precision: str = "exact"
     dtype: Any = jnp.float32
 
     @classmethod
@@ -63,6 +67,7 @@ class VQVAE(nn.Module):
             attention_resolution=tuple(vq.attention_resolution),
             num_codebook_vectors=int(vq.num_codebook_vectors),
             use_pallas=use_pallas,
+            codebook_precision=str(vq.get("codebook_precision", "exact")),
             dtype=dtype,
         )
 
@@ -90,6 +95,7 @@ class VQVAE(nn.Module):
             latent_dim=self.latent_channels,
             beta=self.beta,
             use_pallas=self.use_pallas,
+            precision=self.codebook_precision,
             dtype=self.dtype,
         )
         self.quant_conv = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype,
