@@ -34,6 +34,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# measurement process: no TensorBoard writer (tensorboardX pulls torch + a
+# multiprocessing thread that flakily SIGSEGVs next to XLA:CPU — see
+# utils/experiment.py MetricWriter)
+os.environ.setdefault("VQGD_NO_TB", "1")
 
 import numpy as np
 
@@ -525,12 +529,24 @@ def run_jax_g3d(args) -> dict:
                   for i in range(G3D_EVAL_SEEDS)]
         return jnp.mean(jnp.stack(losses))
 
+    # --dispatch 1 → per-step calls, no scan. XLA:CPU segfaults EXECUTING a
+    # lax.scan over this worker's grad (ShuffleUNet+BN; compiles fine, dies
+    # in the runtime — reproduced minimally 2026-08-20, upstream bug); the
+    # TPU backend runs the scan normally. CPU validation uses --dispatch 1.
+    def run_chunk(state, chunk, rngs):
+        if k == 1 or args.dispatch == 1:
+            for i in range(chunk.shape[0]):
+                state, m = w.train_step(state, chunk[i], rngs[i])
+            return state, m
+        return w.train_multi_step(state, chunk, rngs)
+
     rng = jax.random.PRNGKey(args.seed)
     n = len(train_np)
     tc0 = time.perf_counter()
+    st2 = state
     for _ in range(2):
-        st2, m = w.train_multi_step(state if _ == 0 else st2, train_dev[:k],
-                                    jax.random.split(jax.random.PRNGKey(9), k))
+        st2, m = run_chunk(st2, train_dev[:k],
+                           jax.random.split(jax.random.PRNGKey(9), k))
         float(np.asarray(m["loss"]))
         float(np.asarray(eval_mse(st2.params, st2.batch_stats)))
     state = w.init_state()  # multi_step donates: restart from a pristine init
@@ -545,7 +561,7 @@ def run_jax_g3d(args) -> dict:
                                  train_dev[:k - (n - cursor)]])
             cursor = (cursor + k) % n
             rng, sub = jax.random.split(rng)
-            state, m = w.train_multi_step(state, sl, jax.random.split(sub, k))
+            state, m = run_chunk(state, sl, jax.random.split(sub, k))
             steps += k
         mse = float(np.asarray(eval_mse(state.params, state.batch_stats)))
         el = time.perf_counter() - t0

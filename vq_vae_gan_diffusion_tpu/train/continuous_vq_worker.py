@@ -90,8 +90,11 @@ class ContinuousVQDiffusionWorker(BaseWorker):
                 pass
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(unet_params))
         self.logger.info("%s U-Net params: %.1fM", self.model_name, n / 1e6)
+        # EMA starts as a copy, not an alias: the donating multi-step
+        # dispatch may not donate the same buffer twice
         return ContinuousVQState(unet_params=unet_params, vq_params=vq_params,
-                                 ema_params=unet_params,
+                                 ema_params=jax.tree_util.tree_map(
+                                     jnp.array, unet_params),
                                  opt_state=self.opt.init(unet_params),
                                  step=jnp.zeros((), jnp.int32))
 

@@ -126,7 +126,9 @@ class GaussianDiffusion2DWorker(BaseWorker):
         params = jax.device_put(params, jax.devices()[0])
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
         self.logger.info("gaussiandiffusion2d U-Net params: %.1fM", n / 1e6)
-        return DiffusionState(params=params, batch_stats={}, ema_params=params,
+        # EMA starts as a copy (donation-safe: see the 3D worker's init_state)
+        return DiffusionState(params=params, batch_stats={},
+                              ema_params=jax.tree_util.tree_map(jnp.array, params),
                               ema_batch_stats={}, opt_state=self.opt.init(params),
                               step=jnp.zeros((), jnp.int32))
 
@@ -249,8 +251,14 @@ class GaussianDiffusion3DWorker(BaseWorker):
         stats = variables.get("batch_stats", {})
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
         self.logger.info("gaussiandiffusion3d U-Net params: %.1fM", n / 1e6)
-        return DiffusionState(params=params, batch_stats=stats, ema_params=params,
-                              ema_batch_stats=stats, opt_state=self.opt.init(params),
+        # EMA trees start as COPIES, not aliases: train_multi_step donates the
+        # whole state, and donating the same underlying buffer twice (params
+        # and ema_params sharing arrays at init) is an XLA Execute() error
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+        return DiffusionState(params=params, batch_stats=stats,
+                              ema_params=copy(params),
+                              ema_batch_stats=copy(stats),
+                              opt_state=self.opt.init(params),
                               step=jnp.zeros((), jnp.int32))
 
     def train_step(self, state, batch, rng):

@@ -153,10 +153,12 @@ class VQDiffusionWorker(BaseWorker):
                          c.diffusion_type)
         lt = (LtState.init(c.timesteps)
               if c.diffusion_type == "VQ_Official" else ())
+        # EMA trees start as copies, not aliases (donation safety)
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
         return VQDiffusionState(
             unet_params=unet_params, unet_batch_stats=batch_stats,
-            vq_params=vq_params, ema_params=unet_params,
-            ema_batch_stats=batch_stats, opt_state=self.opt.init(unet_params),
+            vq_params=vq_params, ema_params=copy(unet_params),
+            ema_batch_stats=copy(batch_stats), opt_state=self.opt.init(unet_params),
             lt_state=lt, step=jnp.zeros((), jnp.int32))
 
     def train_step(self, state, batch, rng):

@@ -74,6 +74,12 @@ class MetricWriter:
         self.path = os.path.join(run_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
         self._tb = None
+        # VQGD_NO_TB=1: measurement harnesses opt out — tensorboardX pulls in
+        # torch + a multiprocessing writer thread, whose coexistence with
+        # XLA:CPU produced flaky SIGSEGVs in the time-to-quality runs
+        # (2026-08-20); jsonl metrics (pure python) always stay on
+        if os.environ.get("VQGD_NO_TB"):
+            use_tensorboard = False
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
