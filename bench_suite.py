@@ -194,9 +194,16 @@ def main() -> int:
             jnp.zeros((1,), jnp.int32), train=False)
     uvars = jax.device_put(uvars, jax.devices()[0])
     Td = comp.prior.sampling_timesteps
-    for fused, suffix in ((False, ""), (True, "_fusedpost")):
+    # third variant (VERDICT r3 #7): the U-Net-bound chain routed through the
+    # measured-winner per-block kernels (fused_sampler: auto) on top of the
+    # fused posterior
+    for fused, sampler_mode, suffix in (
+            (False, None, ""), (True, None, "_fusedpost"),
+            (True, "auto", "_fusedpost_auto")):
         try:
             comp.prior.fused_posterior = fused
+            if sampler_mode is not None:
+                comp.fused_sampler = sampler_mode
             sample_disc = jax.jit(lambda rng: comp.sample(
                 uvars["params"], uvars.get("batch_stats", {}), rng, 16))
             dt = timeit(sample_disc, jax.random.PRNGKey(0), iters=1, warmup=1)
