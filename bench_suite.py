@@ -131,51 +131,10 @@ def main() -> int:
     print("ddpm packed", results["ddpm_1000step_sampling_b16_packed"],
           flush=True)
 
-    # same chain through the v3 whole-block kernels (one launch per network
-    # block, activations stay in VMEM; fused_sampler: chain) — guarded so a
-    # Mosaic-lowering failure surfaces without killing the rest of the suite
-    try:
-        proc_c = GaussianDiffusion3D((256, 96), 1, T, T,
-                                     lambda x, c, t: apply_folded(
-                                         folded, x, t, use_pallas="chain",
-                                         dtype=jnp.bfloat16).astype(x.dtype),
-                                     "noise_mse", "ddpm")
-        sample16c = jax.jit(lambda rng: proc_c.ddpm_sample(rng, 16, False,
-                                                           True))
-        dt = timeit(sample16c, jax.random.PRNGKey(0), iters=2, warmup=1)
-        results["ddpm_1000step_sampling_b16_chain"] = {
-            "seconds_per_chain": round(dt, 2),
-            "denoise_steps_per_sec": round(T / dt, 1)}
-        print("ddpm chain", results["ddpm_1000step_sampling_b16_chain"],
-              flush=True)
-    except Exception as e:  # noqa: BLE001
-        results["ddpm_1000step_sampling_b16_chain"] = {
-            "error": f"{type(e).__name__}: {e}"[:300]}
-        print("ddpm chain FAILED:", results[
-            "ddpm_1000step_sampling_b16_chain"]["error"], flush=True)
-
-    # per-block measured-winner policy (fused_sampler: auto — whole-block
-    # chain kernels ≤128ch, packed-resident per-stage above; shuffle_infer.
-    # AUTO_WHOLE_MAX_CH) — guarded like the chain row
-    try:
-        proc_a = GaussianDiffusion3D((256, 96), 1, T, T,
-                                     lambda x, c, t: apply_folded(
-                                         folded, x, t, use_pallas="auto",
-                                         dtype=jnp.bfloat16).astype(x.dtype),
-                                     "noise_mse", "ddpm")
-        sample16a = jax.jit(lambda rng: proc_a.ddpm_sample(rng, 16, False,
-                                                           True))
-        dt = timeit(sample16a, jax.random.PRNGKey(0), iters=2, warmup=1)
-        results["ddpm_1000step_sampling_b16_auto"] = {
-            "seconds_per_chain": round(dt, 2),
-            "denoise_steps_per_sec": round(T / dt, 1)}
-        print("ddpm auto", results["ddpm_1000step_sampling_b16_auto"],
-              flush=True)
-    except Exception as e:  # noqa: BLE001
-        results["ddpm_1000step_sampling_b16_auto"] = {
-            "error": f"{type(e).__name__}: {e}"[:300]}
-        print("ddpm auto FAILED:", results[
-            "ddpm_1000step_sampling_b16_auto"]["error"], flush=True)
+    # (the v3 whole-chain / auto kernel family was deleted in round 4 after
+    # three healthy-window compile crashes + a measured loss where it did
+    # compile — see BENCHMARKS.md "Kernel decisions"; packed is the winner
+    # and the production default)
 
     # 3b: discrete VQ-diffusion (mask-and-replace) sampling chain --------------
     # Reference Diffusion_VQ_Official.sample (diffusion_vq_official.py:515-577):
@@ -194,16 +153,9 @@ def main() -> int:
             jnp.zeros((1,), jnp.int32), train=False)
     uvars = jax.device_put(uvars, jax.devices()[0])
     Td = comp.prior.sampling_timesteps
-    # third variant (VERDICT r3 #7): the U-Net-bound chain routed through the
-    # measured-winner per-block kernels (fused_sampler: auto) on top of the
-    # fused posterior
-    for fused, sampler_mode, suffix in (
-            (False, None, ""), (True, None, "_fusedpost"),
-            (True, "auto", "_fusedpost_auto")):
+    for fused, suffix in ((False, ""), (True, "_fusedpost")):
         try:
             comp.prior.fused_posterior = fused
-            if sampler_mode is not None:
-                comp.fused_sampler = sampler_mode
             sample_disc = jax.jit(lambda rng: comp.sample(
                 uvars["params"], uvars.get("batch_stats", {}), rng, 16))
             dt = timeit(sample_disc, jax.random.PRNGKey(0), iters=1, warmup=1)
@@ -298,9 +250,9 @@ def main() -> int:
         "tokens_per_sec": round(B * steps / dt, 1)}
     print("ar", results["gpt_ar_sampling_256tok_b16"], flush=True)
 
-    # 5: codebook kernels -------------------------------------------------------
+    # 5: codebook argmin (XLA; the Pallas kernel was deleted round 4 — its
+    # bf16 mode tied XLA-bf16 within 3%: 707.7 vs 727.6 µs, BENCHMARKS.md)
     from vq_vae_gan_diffusion_tpu.models.codebook import nearest_codebook_indices
-    from vq_vae_gan_diffusion_tpu.ops.codebook_pallas import nearest_indices_pallas
 
     z = jax.random.normal(jax.random.PRNGKey(0), (8192, 256))
     cb = jax.random.normal(jax.random.PRNGKey(1), (1024, 256))
@@ -319,24 +271,12 @@ def main() -> int:
 
     dt_xla = timeit(chained(nearest_codebook_indices), z, cb,
                     iters=3, warmup=2) / K
-    # the decisive column for the kernel's win-or-delete (VERDICT r3 #6):
-    # XLA at DEFAULT precision has the same bf16-rounded-scores numerics as
-    # the Pallas bf16 mode — if it matches that kernel's time, the kernel
-    # buys nothing over a one-line precision knob
     dt_xla16 = timeit(chained(
         lambda zz, cbk: nearest_codebook_indices(zz, cbk, "bf16")), z, cb,
         iters=3, warmup=2) / K
-    dt_pl = timeit(chained(nearest_indices_pallas), z, cb,
-                   iters=3, warmup=2) / K
-    dt_pl16 = timeit(chained(
-        lambda zz, cbk: nearest_indices_pallas(zz, cbk, "bf16")), z, cb,
-        iters=3, warmup=2) / K
     results["codebook_argmin_8192x1024x256"] = {
-        "xla_us": round(dt_xla * 1e6, 1),
-        "xla_bf16_us": round(dt_xla16 * 1e6, 1),
-        "pallas_us": round(dt_pl * 1e6, 1),
-        "pallas_bf16_us": round(dt_pl16 * 1e6, 1),
-        "pallas_speedup": round(dt_xla / dt_pl, 2)}
+        "xla_exact_f32_us": round(dt_xla * 1e6, 1),
+        "xla_bf16_scores_us": round(dt_xla16 * 1e6, 1)}
     print("codebook", results["codebook_argmin_8192x1024x256"], flush=True)
 
     # report ---------------------------------------------------------------------
@@ -354,7 +294,9 @@ def main() -> int:
     try:
         with open("BENCHMARKS.md") as f:
             old = f.read()
-        idx = old.find("## Notes")
+        idx = old.find("## MFU")
+        if idx < 0:
+            idx = old.find("## Notes")
         if idx >= 0:
             lines.extend(["", old[idx:].rstrip()])
     except FileNotFoundError:

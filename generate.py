@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     parser.add_argument("--ckpt", type=str, default=None,
                         help="checkpoint dir override (else architecture.<model>.resume_path)")
     parser.add_argument("--fused-sampler", type=str, default=None,
-                        choices=["on", "off", "pallas", "packed", "chain"],
+                        choices=["on", "off", "pallas", "packed"],
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
     parser.add_argument("--fused-posterior", type=str, default=None,

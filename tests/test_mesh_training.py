@@ -235,7 +235,9 @@ def test_ar_sampling_dp_sharded(mesh):
         out_specs=P("data"), check_vma=False))(
         jax.device_put(sos, NamedSharding(mesh, P("data"))),
         jax.device_put(keys, NamedSharding(mesh, P("data"))))
-    assert toks.shape == (2 * n_data, 9)
+    # sample_tokens returns the GENERATED tokens only ([B, steps]), not
+    # prefix+generated (models/mingpt.py:241)
+    assert toks.shape == (2 * n_data, 8)
     assert 0 <= int(np.asarray(toks).min()) and int(np.asarray(toks).max()) < 32
     # shard 0 must equal the unsharded decode with shard 0's key
     ref = sample_tokens(gpt, params, keys[0], sos[:2], 1, 8)

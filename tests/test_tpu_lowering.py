@@ -38,7 +38,7 @@ def test_posterior_kernels_lower_for_tpu(prng, trunc_k):
                 logits, x_t, coefs, gumbel)
 
 
-@pytest.mark.parametrize("mode", ["pallas", "packed", "chain"])
+@pytest.mark.parametrize("mode", ["pallas", "packed"])
 def test_shuffle_fused_modes_lower_for_tpu(mode):
     from vq_vae_gan_diffusion_tpu.models.shuffle_infer import (apply_folded,
                                                                fold_unet)

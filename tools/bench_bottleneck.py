@@ -170,10 +170,9 @@ def main():
                 continue
             if ref is None:
                 ref = dt
-        # 4-unit chain (one encoder stage): per-unit HBM round trips vs the
-        # v3 whole-chain kernel (activations resident in VMEM across units)
-        from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
-            fused_chain_whole)
+        # 4-unit chain (one encoder stage): per-unit HBM round trips, spec vs
+        # packed-resident (the v3 whole-chain kernel family was deleted in
+        # round 4 — it never compiled on hardware; see BENCHMARKS.md)
         units = [make_params(jax.random.fold_in(jax.random.PRNGKey(2), i),
                              ch) for i in range(4)]
         pus = [fold_bottleneck_params_packed(u, g) for u in units]
@@ -190,41 +189,9 @@ def main():
                 a, b2 = fused_bottleneck_packed(a, b2, pu)
             return jnp.concatenate([a, b2], -1)
 
-        def chain_x4_resident(xr, _):
-            lh = xr.shape[-1] // 2
-            y1, y2 = fused_chain_whole(xr[..., :lh], xr[..., lh:], pus)
-            return jnp.concatenate([y1, y2], -1)
-
-        # whole encoder block: chain4 + stride-2 downsample (2x channels),
-        # two launches (with the inter-kernel relayout) vs the fused kernel
-        from vq_vae_gan_diffusion_tpu.models.unet_shuffle import (
-            ResidualDownsample)
-        from vq_vae_gan_diffusion_tpu.ops.shuffle_pallas import (
-            packed_bottleneck_chain_whole, packed_downsample,
-            packed_encoder_block)
-        dmod = ResidualDownsample(2 * c)
-        dvars = dmod.init(jax.random.PRNGKey(5), x, train=False)
-        dp_, ds_ = dvars["params"], dvars["batch_stats"]
-
-        def encblock_two_launch(xx, _):
-            sc = packed_bottleneck_chain_whole(xx, units)
-            return packed_downsample(sc, dp_, ds_)
-
-        def encblock_fused(xx, _):
-            return packed_encoder_block(xx, units, dp_, ds_)[1]
-
-        def encblock_spec(xx, _):
-            for u in units:
-                xx = reference_bottleneck(xx, u)
-            return dmod.apply(dvars, xx, train=False)
-
         for tag, fn, x0 in [
                 ("chain: spec x4", spec_x4, x),
-                (f"chain: packed x4 resident", packed_x4_resident, xp_res),
-                (f"chain: whole-chain kernel", chain_x4_resident, xp_res),
-                ("encblock: spec", encblock_spec, x),
-                ("encblock: two launches", encblock_two_launch, x),
-                ("encblock: fused", encblock_fused, x)]:
+                (f"chain: packed x4 resident", packed_x4_resident, xp_res)]:
             try:
                 timeit(tag, fn, x0, p)
             except Exception as e:  # noqa

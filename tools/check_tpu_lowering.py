@@ -81,12 +81,12 @@ def main() -> int:
         variables = unet.init(jax.random.PRNGKey(0), xs.astype(jnp.float32),
                               None, ts, train=False)
     folded = fold_unet(variables, dtype=jnp.bfloat16)
-    for mode in ("pallas", "packed", "chain"):
+    for mode in ("pallas", "packed"):
         check(f"shuffle_{mode}",
               lambda mode=mode: (
                   lambda x, t: apply_folded(folded, x, t, use_pallas=mode),
                   (xs, ts)))
-    # odd-grid decoder fallbacks inside chain mode (14→7 stage)
+    # odd-grid downsample fallbacks inside packed mode (14→7 stage)
     unet_odd = ShuffleUNet(timesteps=1000, time_embedding_dim=256,
                            in_channels=1, out_channels=1, base_dim=64,
                            dim_mults=(2, 4, 8))
@@ -96,9 +96,9 @@ def main() -> int:
         v_odd = unet_odd.init(jax.random.PRNGKey(0), xo.astype(jnp.float32),
                               None, to, train=False)
     folded_odd = fold_unet(v_odd, dtype=jnp.bfloat16)
-    check("shuffle_chain_odd_grid",
+    check("shuffle_packed_odd_grid",
           lambda: (lambda x, t: apply_folded(folded_odd, x, t,
-                                             use_pallas="chain"), (xo, to)))
+                                             use_pallas="packed"), (xo, to)))
 
     # -- GPT decode-stack kernels (flagship prior shape) ---------------------
     from vq_vae_gan_diffusion_tpu.models.mingpt import GPT, sample_tokens
@@ -128,16 +128,17 @@ def main() -> int:
               gpt_s, params, rng, pfx, prefix_len=1, steps=8, fused=True),
               (gps, jax.random.PRNGKey(0), prefix)))
 
-    # -- codebook nearest-neighbour kernel -----------------------------------
-    from vq_vae_gan_diffusion_tpu.ops import codebook_pallas as cbp
+    # -- codebook nearest-neighbour (XLA; the Pallas kernel was deleted in
+    # round 4 — see BENCHMARKS.md "Kernel decisions") --------------------------
+    from vq_vae_gan_diffusion_tpu.models.codebook import nearest_codebook_indices
 
     print("codebook:")
     z = jnp.zeros((4096, 256), jnp.float32)
     book = jnp.zeros((1024, 256), jnp.float32)
-    check("codebook_argmin",
-          lambda: (cbp.nearest_indices_pallas, (z, book)))
+    check("codebook_argmin_exact",
+          lambda: (nearest_codebook_indices, (z, book)))
     check("codebook_argmin_bf16",
-          lambda: (lambda a, b: cbp.nearest_indices_pallas(a, b, "bf16"),
+          lambda: (lambda a, b: nearest_codebook_indices(a, b, "bf16"),
                    (z, book)))
 
     print()

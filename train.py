@@ -30,14 +30,12 @@ def main(argv=None) -> int:
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override trainer.num_epochs")
-    parser.add_argument("--use-pallas", action="store_true",
-                        help="use the fused Pallas codebook kernel")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the first epoch")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay f32)")
     parser.add_argument("--fused-sampler", type=str, default=None,
-                        choices=["on", "off", "pallas", "packed", "chain"],
+                        choices=["on", "off", "pallas", "packed"],
                         help="override trainer.<model>.fused_sampler for the "
                              "ShuffleNet diffusion samplers")
     parser.add_argument("--fused-posterior", type=str, default=None,
@@ -127,8 +125,6 @@ def main(argv=None) -> int:
     kwargs = dict(config=config, run_dir=run_dir, logger=logger, mesh=mesh,
                   debug=args.debug, seed=args.seed,
                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    if model_name in ("vqvae", "vqgan", "vqvae_transformer", "vqgan_transformer"):
-        kwargs["use_pallas"] = args.use_pallas
     if model_name in ("vqdiffusion", "gaussiandiffusion3d"):
         # OneCycleLR total_steps = epochs × iters/epoch (reference
         # vqdiffusionWorker.py:121-122)

@@ -5,9 +5,13 @@ TPU-native re-design of reference ``network/vqvae/submodule/codebook.py:30-111``
 The hot op is nearest-neighbour search: for every latent vector z (B·H·W of
 them), find ``argmin_k ||z - e_k||²`` over K codebook vectors, then gather. We
 express the distance via the matmul expansion ``||z||² + ||e||² - 2 z·eᵀ`` so
-the O(N·K·D) work lands on the MXU; a fused Pallas kernel
-(:mod:`..ops.codebook_pallas`) avoids materializing the [N, K] distance matrix
-in HBM and is used on TPU when ``use_pallas=True``.
+the O(N·K·D) work lands on the MXU as ONE fused matmul+argmin. (A hand Pallas
+kernel for this op was built and measured across rounds 1-4; its only mode
+that beat XLA did so by recomputing scores in bf16, and once the same
+numerics were given to XLA via ``precision='bf16'`` the gap closed to ~3%
+— 707.7 vs 727.6 µs at 8192×1024×256 on a v5e, BENCHMARKS.md — so the
+kernel was deleted per the round-3 win-or-delete directive. The 4.3 GFLOP
+search sits at the dispatch floor; the precision knob is the real lever.)
 
 Loss semantics (parity note): the reference computes
 
@@ -61,7 +65,7 @@ def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array,
 
 
 def quantize(z: jax.Array, codebook: jax.Array, beta: float = 0.25,
-             use_pallas: bool = False, precision: str = "exact"
+             precision: str = "exact"
              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Quantize latents against the codebook.
 
@@ -70,7 +74,7 @@ def quantize(z: jax.Array, codebook: jax.Array, beta: float = 0.25,
          codebook.py:63 — our native layout needs no permute).
       codebook: [K, D] embedding table.
       beta: codebook-term weight (see module docstring).
-      use_pallas: route the distance-argmin through the fused Pallas kernel.
+      precision: distance-score precision, see nearest_codebook_indices.
 
     Returns:
       (z_q, indices, loss): straight-through quantized latents [B,H,W,D],
@@ -78,12 +82,7 @@ def quantize(z: jax.Array, codebook: jax.Array, beta: float = 0.25,
     """
     b, h, w, d = z.shape
     z_flat = z.reshape(-1, d)
-    if use_pallas:
-        from ..ops.codebook_pallas import nearest_indices_pallas
-        indices = nearest_indices_pallas(
-            z_flat, codebook, "bf16" if precision == "bf16" else "f32")
-    else:
-        indices = nearest_codebook_indices(z_flat, codebook, precision)
+    indices = nearest_codebook_indices(z_flat, codebook, precision)
     z_q = jnp.take(codebook, indices, axis=0).reshape(b, h, w, d).astype(z.dtype)
 
     zf = z.astype(jnp.float32)
@@ -102,7 +101,6 @@ class CodeBook(nn.Module):
     num_codebook_vectors: int = 1024
     latent_dim: int = 256
     beta: float = 0.25
-    use_pallas: bool = False
     precision: str = "exact"     # 'exact' | 'bf16' distance scores
     dtype: Any = jnp.float32
 
@@ -115,8 +113,7 @@ class CodeBook(nn.Module):
         )
 
     def __call__(self, z: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        return quantize(z, self.embedding, self.beta, self.use_pallas,
-                        self.precision)
+        return quantize(z, self.embedding, self.beta, self.precision)
 
     def lookup(self, indices: jax.Array) -> jax.Array:
         """indices [...] → embeddings [..., D] (reference z_to_image path)."""

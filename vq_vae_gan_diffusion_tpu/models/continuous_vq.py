@@ -31,8 +31,8 @@ from .vqvae import VQVAE
 
 
 class _ContinuousVQBase:
-    def __init__(self, cfg: Config, dtype=jnp.float32, use_pallas: bool = False):
-        self.vqvae = VQVAE.from_config(cfg, dtype=dtype, use_pallas=use_pallas)
+    def __init__(self, cfg: Config, dtype=jnp.float32):
+        self.vqvae = VQVAE.from_config(cfg, dtype=dtype)
         vq = cfg.architecture.vqvae
         self.seq_length = int(vq.get("num_latent_vec", self.vqvae.latent_size ** 2))
         self.embedding_dim = int(vq.get("latent_vec_dim", self.vqvae.latent_channels))
@@ -68,8 +68,8 @@ class _ContinuousVQBase:
 
 
 class V_VQDiffusion(_ContinuousVQBase):
-    def __init__(self, cfg: Config, dtype=jnp.float32, use_pallas: bool = False):
-        super().__init__(cfg, dtype, use_pallas)
+    def __init__(self, cfg: Config, dtype=jnp.float32):
+        super().__init__(cfg, dtype)
         self.unet = Unet1D(dim=64, dim_mults=(1, 2, 4, 8),
                            channels=self.embedding_dim, condition=True,
                            dtype=dtype)
@@ -106,8 +106,8 @@ class V_VQDiffusion(_ContinuousVQBase):
 
 
 class C_VQDiffusion(_ContinuousVQBase):
-    def __init__(self, cfg: Config, dtype=jnp.float32, use_pallas: bool = False):
-        super().__init__(cfg, dtype, use_pallas)
+    def __init__(self, cfg: Config, dtype=jnp.float32):
+        super().__init__(cfg, dtype)
         model_name = cfg.architecture.model_name
         dcfg = cfg.architecture.get(model_name, cfg.architecture.get("vqdiffusion"))
         self.indices_width = int(dcfg.get("indices_width", 8))

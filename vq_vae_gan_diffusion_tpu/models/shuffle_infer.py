@@ -26,8 +26,6 @@ import jax.numpy as jnp
 
 from ..ops.shuffle_pallas import (bn_affine, fold_bottleneck_params,
                                   fused_bottleneck, packed_bottleneck_chain,
-                                  packed_bottleneck_chain_whole,
-                                  packed_bottleneck_chain_whole_up,
                                   reference_bottleneck)
 
 
@@ -39,57 +37,41 @@ def _bottleneck(x, folded, use_pallas):
     return reference_bottleneck(x, folded)
 
 
-# Per-block kernel policy for mode "auto", from the round-4 healthy-window
-# measurements (BENCHMARKS.md, tools/bench_bottleneck.py): the whole-block
-# chain kernels win at narrow channels (2.7× at the 64ch wide-spatial stage,
-# ~parity at 128ch) where XLA's shift-add spec re-reads the activation per
-# tap, while the per-stage packed-resident kernels win at 256/512ch where
-# the whole-chain tiles spill. Channel width ≤ this bar → whole-block chain
-# kernels; wider → packed per-stage kernels.
-AUTO_WHOLE_MAX_CH = 128
-
-
-def _parse_auto(mode):
-    """'auto'/'auto64'(+'_interpret') → (True, thresh); else (False, None)."""
-    m = str(mode)
-    if m.endswith("_interpret"):
-        m = m[: -len("_interpret")]
-    if m.startswith("auto"):
-        return True, int(m[4:]) if m[4:] else AUTO_WHOLE_MAX_CH
-    return False, None
-
-
-def resolve_sampler_mode(mode):
+def resolve_sampler_mode(mode, default_tpu_mode=False):
     """Map a config ``fused_sampler`` value to ``apply_folded``'s
-    ``use_pallas`` argument. Unknown / truthy-default values (True, "true")
-    select the BN-folded XLA spec path (False)."""
+    ``use_pallas`` argument.
+
+    Explicit kernel names pass through. For truthy-default values (True,
+    "true") the caller chooses via ``default_tpu_mode`` what a TPU run gets:
+    the gaussian3d DDPM sampler passes ``'packed'`` — the measured winner at
+    its flagship shape (9.33 vs 11.84 s per 1000-step chain against the
+    BN-folded XLA spec, BENCHMARKS.md 2026-08-21) — while the discrete
+    composite keeps the spec (its narrow ShuffleNet prior is unmeasured
+    under packed; defaults only flip on a healthy-window measurement).
+
+    The v3 whole-chain/auto family was deleted in round 4: it never compiled
+    on hardware (reproducible tpu_compile_helper crash across 3
+    healthy-window attempts) and its per-block policy LOST where it did
+    compile (37.5 vs 42.2 steps/s on the discrete prior)."""
     m = str(mode)
-    if m in ("pallas", "packed", "packed_interpret", "chain",
-             "chain_interpret", "interpret") or m.startswith("auto"):
+    if m in ("pallas", "packed", "packed_interpret", "interpret"):
         return m
+    if mode and default_tpu_mode and jax.default_backend() == "tpu":
+        return default_tpu_mode
     return False
 
 
 def _resolve_mode(use_pallas):
-    """'packed'/'chain'/'auto*' off-TPU degrade to interpret kernels."""
-    m = str(use_pallas)
-    if ((use_pallas in ("packed", "chain") or m.startswith("auto"))
-            and jax.default_backend() != "tpu"):
-        return m + "_interpret"
+    """'packed' off-TPU degrades to the interpret kernel."""
+    if use_pallas == "packed" and jax.default_backend() != "tpu":
+        return "packed_interpret"
     return use_pallas
 
 
-def _chain(x, units, use_pallas, t_vec=None, inj_after=None):
-    """Run consecutive bottlenecks; packed modes fuse per unit, chain modes
-    fuse the whole stage into one kernel launch (activations stay in VMEM).
-    ``t_vec``/``inj_after`` (chain modes only): fuse the TimeMLP
-    x = silu(x + h) between units inj_after-1 and inj_after in-kernel."""
+def _chain(x, units, use_pallas):
+    """Run consecutive bottlenecks; packed mode fuses per unit with zero
+    layout ops between consecutive units."""
     use_pallas = _resolve_mode(use_pallas)
-    if use_pallas in ("chain", "chain_interpret"):
-        return packed_bottleneck_chain_whole(
-            x, units, t_vec=t_vec, inj_after=inj_after,
-            interpret=use_pallas == "chain_interpret")
-    assert t_vec is None  # fused injection is a chain-mode-only contract
     if use_pallas in ("packed", "packed_interpret"):
         return packed_bottleneck_chain(
             x, units, interpret=use_pallas == "packed_interpret")
@@ -135,8 +117,7 @@ def _downsample(x, p, stats, dtype, use_pallas=False, t_vec=None):
     from ..models.unet_shuffle import channel_shuffle
 
     use_pallas = _resolve_mode(use_pallas)
-    if (use_pallas in ("packed", "packed_interpret",
-                       "chain", "chain_interpret")
+    if (use_pallas in ("packed", "packed_interpret")
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         from ..ops.shuffle_pallas import packed_downsample
         return packed_downsample(x, p, stats, t_vec=t_vec,
@@ -212,14 +193,12 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
 
     ``use_pallas=False`` (default) runs the BN-folded shift-add XLA spec —
     measured 2.1× the flax module on a v5e ([16,256,96,64] unit: 2.19 ms vs
-    4.57 ms); ``'pallas'`` selects the v1 fused kernel (slower than the spec
-    at narrow channels — kept for comparison); ``'packed'`` selects the v2
-    batch-packed whole-chain kernel (lane-packed images, shuffle folded into
-    the pointwise weights, zero layout ops between consecutive units);
-    ``'chain'`` the v3 whole-block kernels (one launch per network block);
-    ``'auto'`` / ``'auto<N>'`` picks per block by channel width — whole-block
-    chain kernels up to N (default ``AUTO_WHOLE_MAX_CH``) channels, packed
-    per-stage kernels above, following the round-4 hardware measurements;
+    4.57 ms); ``'packed'`` selects the v2 batch-packed kernel (lane-packed
+    images, shuffle folded into the pointwise weights, zero layout ops
+    between consecutive units) — the measured production winner (1.27× the
+    spec on the 1000-step DDPM chain, BENCHMARKS.md 2026-08-21);
+    ``'pallas'`` the v1 per-unit fused kernel (slower than the spec at
+    narrow channels — kept for comparison);
     ``'packed_interpret'``/``'interpret'`` are the CPU test modes.
     """
     params, stats = folded["_raw"], folded["_stats"]
@@ -233,86 +212,32 @@ def apply_folded(folded: Dict[str, Any], x: jax.Array,
         t_emb = params["time_embedding"]["embedding"][t].astype(dtype)
 
     mode = _resolve_mode(use_pallas)
-    auto, auto_th = _parse_auto(mode)
-    interp_sfx = "_interpret" if str(mode).endswith("_interpret") else ""
 
-    def block_mode(units):
-        """Mode for one block; 'auto' picks by the block's channel width
-        (a folded unit's k1 is [3,3,C/2])."""
-        if not auto:
-            return mode
-        c = 2 * units[0]["k1"].shape[-1]
-        return ("chain" if c <= auto_th else "packed") + interp_sfx
-
-    did_init = False
+    x = _silu(_conv(x, ki, bi, stride=1, pad=1))
     shortcuts = []
-    for ei, blk in enumerate(folded["enc"]):
+    for blk in folded["enc"]:
         n = blk["name"]
-        bmode = block_mode(blk["units"])
-        chain_fused = bmode in ("chain", "chain_interpret")
-        if chain_fused and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            # whole encoder block ([init ConvBnSiLu on block 0] → chain4 →
-            # shortcut → TimeMLP → stride-2 downsample) in ONE launch
-            from ..ops.shuffle_pallas import packed_encoder_block
-            h_vec = (None if t_emb is None
-                     else _time_h(t_emb, params[n]["time_mlp"], dtype))
-            shortcut, x = packed_encoder_block(
-                x.astype(dtype), blk["units"][:4], params[n]["down"],
-                stats[n]["down"], t_vec=h_vec,
-                init_conv=None if did_init else (ki, bi),
-                interpret=bmode == "chain_interpret")
-            did_init = True
-            shortcuts.append(shortcut)
-            continue
-        if not did_init:
-            x = _silu(_conv(x, ki, bi, stride=1, pad=1))
-            did_init = True
-        x = _chain(x, blk["units"][:4], bmode)
+        x = _chain(x, blk["units"][:4], mode)
         shortcut = x
-        h_vec = None
         if t_emb is not None:
-            h_vec = _time_h(t_emb, params[n]["time_mlp"], dtype)
-            if not chain_fused:
-                x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
-                h_vec = None
-        x = _downsample(x, params[n]["down"], stats[n]["down"], dtype,
-                        bmode, t_vec=h_vec)
+            x = _time_mlp(shortcut, t_emb, params[n]["time_mlp"])
+        x = _downsample(x, params[n]["down"], stats[n]["down"], dtype, mode)
         shortcuts.append(shortcut)
 
-    if not did_init:  # a fully-odd grid never entered the fused block
-        x = _silu(_conv(x, ki, bi, stride=1, pad=1))
-        did_init = True
-    x = _chain(x, folded["mid"], block_mode(folded["mid"]))
+    x = _chain(x, folded["mid"], mode)
 
     fk = params["final_conv"]["kernel"].astype(dtype)
     fb = params["final_conv"].get("bias", jnp.zeros(())).astype(dtype)
 
-    for di, blk in enumerate(folded["dec"]):
+    for blk in folded["dec"]:
         n = blk["name"]
         sc = shortcuts.pop()
         b, h, w, c = x.shape
-        last = di == len(folded["dec"]) - 1
-        bmode = block_mode(blk["units"])
-        chain_fused = bmode in ("chain", "chain_interpret")
-        if chain_fused:
-            # whole decoder block (2× bilinear upsample → chain4 → TimeMLP
-            # → chain1 → [final 1×1 conv on the last block]) in ONE launch;
-            # the kernel falls back to XLA resize internally on non-2× grids
-            h_vec = (None if t_emb is None
-                     else _time_h(t_emb, params[n]["time_mlp"], dtype))
-            x = packed_bottleneck_chain_whole_up(
-                x.astype(dtype), sc.astype(dtype), blk["units"],
-                t_vec=h_vec, inj_after=None if h_vec is None else 4,
-                final_proj=(fk, fb) if last else None,
-                interpret=bmode == "chain_interpret")
-            if last:
-                return x
-            continue
         x = jax.image.resize(x, (b, sc.shape[1], sc.shape[2], c), "bilinear")
         x = jnp.concatenate([x, sc], axis=-1).astype(dtype)
-        x = _chain(x, blk["units"][:4], bmode)
+        x = _chain(x, blk["units"][:4], mode)
         if t_emb is not None:
             x = _time_mlp(x, t_emb, params[n]["time_mlp"])
-        x = _chain(x, blk["units"][4:], bmode)
+        x = _chain(x, blk["units"][4:], mode)
 
     return _conv(x, fk, fb)

@@ -33,11 +33,11 @@ from .vqvae import VQVAE
 
 
 class VQDiffusionComposite:
-    def __init__(self, cfg: Config, dtype=jnp.float32, use_pallas: bool = False):
+    def __init__(self, cfg: Config, dtype=jnp.float32):
         model_name = cfg.architecture.model_name
         dcfg = cfg.architecture[model_name if model_name in cfg.architecture
                                 else "vqdiffusion"]
-        self.vqvae = VQVAE.from_config(cfg, dtype=dtype, use_pallas=use_pallas)
+        self.vqvae = VQVAE.from_config(cfg, dtype=dtype)
         self.seq_len = self.vqvae.latent_size ** 2
         self.codebook_size = int(cfg.architecture.vqvae.num_codebook_vectors)
         self.diffusion_type = str(dcfg.diffusion_type)

@@ -30,14 +30,14 @@ from .vqvae import VQVAE
 
 
 class VQTransformer:
-    def __init__(self, cfg: Config, dtype=jnp.float32, use_pallas: bool = False):
+    def __init__(self, cfg: Config, dtype=jnp.float32):
         model_name = cfg.architecture.model_name
         key = model_name if model_name in cfg.architecture else "vqvae_transformer"
         tcfg = cfg.architecture[key]
         self.sos_token = int(tcfg.sos_token)
         self.pkeep = float(tcfg.pkeep)
         self.vocab_size = int(cfg.architecture.vqvae.num_codebook_vectors)
-        self.vqvae = VQVAE.from_config(cfg, dtype=dtype, use_pallas=use_pallas)
+        self.vqvae = VQVAE.from_config(cfg, dtype=dtype)
         self.gpt = GPT(
             vocab_size=self.vocab_size,
             block_size=int(tcfg.block_size),

@@ -45,7 +45,6 @@ class VQVAE(nn.Module):
     attention_resolution: Tuple[int, ...] = (16,)
     num_codebook_vectors: int = 1024
     beta: float = 0.25
-    use_pallas: bool = False
     # 'exact' (Precision.HIGHEST distances) or 'bf16' (TPU-default rounded
     # scores, full single-pass MXU rate, ~0.5% argmin flips — training-neutral
     # per tools/ab_codebook_precision.py)
@@ -53,7 +52,7 @@ class VQVAE(nn.Module):
     dtype: Any = jnp.float32
 
     @classmethod
-    def from_config(cls, cfg: Config, dtype=jnp.float32, use_pallas: bool = False) -> "VQVAE":
+    def from_config(cls, cfg: Config, dtype=jnp.float32) -> "VQVAE":
         vq = cfg.architecture.vqvae
         return cls(
             img_size=resolve_img_size(cfg),
@@ -66,7 +65,6 @@ class VQVAE(nn.Module):
             dropout=float(vq.dropout),
             attention_resolution=tuple(vq.attention_resolution),
             num_codebook_vectors=int(vq.num_codebook_vectors),
-            use_pallas=use_pallas,
             codebook_precision=str(vq.get("codebook_precision", "exact")),
             dtype=dtype,
         )
@@ -94,7 +92,6 @@ class VQVAE(nn.Module):
             num_codebook_vectors=self.num_codebook_vectors,
             latent_dim=self.latent_channels,
             beta=self.beta,
-            use_pallas=self.use_pallas,
             precision=self.codebook_precision,
             dtype=self.dtype,
         )

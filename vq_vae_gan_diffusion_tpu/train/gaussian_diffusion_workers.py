@@ -231,7 +231,9 @@ class GaussianDiffusion3DWorker(BaseWorker):
                 folded = fold_unet({"params": params, "batch_stats": stats},
                                    dtype=unet.dtype)
                 process.model_fn = lambda x, c, t: apply_folded(
-                    folded, x, t, use_pallas=resolve_sampler_mode(fused),
+                    folded, x, t,
+                    use_pallas=resolve_sampler_mode(
+                        fused, default_tpu_mode="packed"),
                     dtype=unet.dtype).astype(x.dtype)
             else:
                 model_fn, _ = bind(params, stats, False)

@@ -46,10 +46,10 @@ def mingpt_decay_mask(params) -> Any:
 class VQTransformerWorker(BaseWorker):
     def __init__(self, config: Config, run_dir: str, logger=None, mesh=None,
                  debug: bool = False, seed: int = 0, save_ckpt_dir=None,
-                 dtype=jnp.float32, use_pallas: bool = False):
+                 dtype=jnp.float32):
         super().__init__(config, run_dir, logger, mesh, debug, seed, save_ckpt_dir)
         self.model_name = config.architecture.model_name
-        self.composite = VQTransformer(config, dtype=dtype, use_pallas=use_pallas)
+        self.composite = VQTransformer(config, dtype=dtype)
         key = (self.model_name if self.model_name in config.trainer
                else "vqvae_transformer")
         tr = config.trainer[key]
@@ -91,7 +91,7 @@ class VQTransformerWorker(BaseWorker):
         vq = self.composite.vqvae
         dummy = jnp.zeros((1, vq.img_size, vq.img_size, vq.img_channels), jnp.float32)
         with jax.default_device(jax.devices("cpu")[0]):
-            vq_params = vq.clone(use_pallas=False).init(rng, dummy)["params"]
+            vq_params = vq.init(rng, dummy)["params"]
         vq_params = jax.device_put(vq_params, jax.devices()[0])
         # resume frozen stage-1 weights (reference resume_path semantics)
         resume = self.config.architecture.vqvae.get("resume_path")

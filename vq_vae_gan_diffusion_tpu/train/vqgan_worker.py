@@ -226,11 +226,11 @@ class VQGANVQVAEWorker(BaseWorker):
 
     def __init__(self, config: Config, run_dir: str, logger=None, mesh=None,
                  debug: bool = False, seed: int = 0, save_ckpt_dir=None,
-                 use_pallas: bool = False, dtype=jnp.float32):
+                 dtype=jnp.float32):
         super().__init__(config, run_dir, logger, mesh, debug, seed, save_ckpt_dir)
         self.model_name = config.architecture.model_name
         self.is_gan = "vqgan" in self.model_name
-        self.model = VQVAE.from_config(config, dtype=dtype, use_pallas=use_pallas)
+        self.model = VQVAE.from_config(config, dtype=dtype)
         self.disc = Discriminator(dtype=dtype) if self.is_gan else None
         self.lpips = LPIPS(dtype=dtype)
         ch = self.model.img_channels
@@ -259,9 +259,8 @@ class VQGANVQVAEWorker(BaseWorker):
         rng = jax.random.PRNGKey(self.seed)
         img = self.model.img_size
         dummy = jnp.zeros((1, img, img, self.model.img_channels), jnp.float32)
-        init_model = self.model.clone(use_pallas=False)  # pallas can't lower on CPU
         with jax.default_device(jax.devices("cpu")[0]):  # fast cached init
-            vq_params = init_model.init(rng, dummy)["params"]
+            vq_params = self.model.init(rng, dummy)["params"]
             if self.is_gan:
                 dv = self.disc.init(rng, dummy, train=False)
                 disc_params, disc_stats = dv["params"], dv.get("batch_stats", {})
