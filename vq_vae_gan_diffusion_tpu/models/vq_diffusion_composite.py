@@ -74,8 +74,11 @@ class VQDiffusionComposite:
                 num_classes=K, seq_len=N, timesteps=self.timesteps,
                 sampling_timesteps=self.sampling_timesteps)
             # fuse posterior+gumbel-sample into one Pallas launch per reverse
-            # step (ops/discrete_posterior_pallas.py; token-identical)
-            self.prior.fused_posterior = dcfg.get("fused_posterior", False)
+            # step (ops/discrete_posterior_pallas.py; token-identical).
+            # Default ON: the measured winner on this chain (42.2 vs 41.5
+            # steps/s healthy-window, BENCHMARKS.md 2026-08-21); on CPU the
+            # kernel runs interpreted (token-identical, discrete.py:305-309).
+            self.prior.fused_posterior = dcfg.get("fused_posterior", True)
         elif self.diffusion_type == "gaussiandiffusion2d":
             if self.indices_to_dist_fn == "one_hot":
                 ch = K if self.distribute_dim == 1 else N
