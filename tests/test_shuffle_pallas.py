@@ -100,9 +100,3 @@ def test_composite_fused_sampler_matches_module(tiny_config, rng):
     c = comp.sample(params, stats, jax.random.PRNGKey(3), 2)
     agree = float(jnp.mean((b == c).astype(jnp.float32)))
     assert agree > 0.99, f"packed sampler diverged: agreement {agree}"
-    # and the fully-fused whole-block kernels (encoder block, whole chain,
-    # fused upsample + TimeMLP injection)
-    comp.fused_sampler = "packed_interpret"
-    d = comp.sample(params, stats, jax.random.PRNGKey(3), 2)
-    agree = float(jnp.mean((b == d).astype(jnp.float32)))
-    assert agree > 0.99, f"chain sampler diverged: agreement {agree}"

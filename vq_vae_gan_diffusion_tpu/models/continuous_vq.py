@@ -44,6 +44,9 @@ class _ContinuousVQBase:
         self.objective = str(dcfg.get("objective", "pred_noise"))
         self.sched = make_schedule(self.timesteps, "linear")
         self.dtype = dtype
+        # reference hardcodes dim 64 / (1,2,4,8); knobs for tiny CI configs
+        self.unet_base_dim = int(dcfg.get("unet_base_dim", 64))
+        self.unet_dim_mults = tuple(dcfg.get("unet_dim_mults", (1, 2, 4, 8)))
 
     def encode_to_z(self, vq_params, x: jax.Array) -> jax.Array:
         _, indices, _ = self.vqvae.apply({"params": vq_params}, x,
@@ -70,7 +73,7 @@ class _ContinuousVQBase:
 class V_VQDiffusion(_ContinuousVQBase):
     def __init__(self, cfg: Config, dtype=jnp.float32):
         super().__init__(cfg, dtype)
-        self.unet = Unet1D(dim=64, dim_mults=(1, 2, 4, 8),
+        self.unet = Unet1D(dim=self.unet_base_dim, dim_mults=self.unet_dim_mults,
                            channels=self.embedding_dim, condition=True,
                            dtype=dtype)
 
@@ -111,7 +114,7 @@ class C_VQDiffusion(_ContinuousVQBase):
         model_name = cfg.architecture.model_name
         dcfg = cfg.architecture.get(model_name, cfg.architecture.get("vqdiffusion"))
         self.indices_width = int(dcfg.get("indices_width", 8))
-        self.unet = Unet1D(dim=64, dim_mults=(1, 2, 4, 8),
+        self.unet = Unet1D(dim=self.unet_base_dim, dim_mults=self.unet_dim_mults,
                            channels=self.indices_width, condition=True,
                            dtype=dtype)
 

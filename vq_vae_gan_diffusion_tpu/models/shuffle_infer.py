@@ -53,9 +53,16 @@ def resolve_sampler_mode(mode, default_tpu_mode=False):
     on hardware (reproducible tpu_compile_helper crash across 3
     healthy-window attempts) and its per-block policy LOST where it did
     compile (37.5 vs 42.2 steps/s on the discrete prior)."""
-    m = str(mode)
+    m = str(mode).lower()
     if m in ("pallas", "packed", "packed_interpret", "interpret"):
         return m
+    if m in ("off", "false", "none", "0", ""):
+        return False
+    if m == "chain" or m.startswith("auto"):
+        raise ValueError(
+            f"fused_sampler={mode!r} was removed in round 4 (whole-chain/auto "
+            "kernels deleted: never compiled on hardware and lost where they "
+            "did). Use 'packed', 'pallas', True, or False.")
     if mode and default_tpu_mode and jax.default_backend() == "tpu":
         return default_tpu_mode
     return False

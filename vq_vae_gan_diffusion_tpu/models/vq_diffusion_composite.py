@@ -59,10 +59,15 @@ class VQDiffusionComposite:
         self.fused_sampler = dcfg.get("fused_sampler", True)
 
         K, N = self.codebook_size, self.seq_len
+        # the reference hardcodes base dim 64 / mults (1,2,4,8) for every
+        # prior U-Net (vqDiffusion.py:58-72); these knobs default to that but
+        # let tiny CI/dryrun configs shrink the compile
+        ubase = int(dcfg.get("unet_base_dim", 64))
+        umults = tuple(dcfg.get("unet_dim_mults", (1, 2, 4, 8)))
         if self.diffusion_type == "VQ_Official":
             if self.unet_dim == 2:
                 # Conv1d over length N with K channels in / K-1 out (:58-65)
-                self.unet = Unet1D(dim=64, dim_mults=(1, 2, 4, 8), channels=K,
+                self.unet = Unet1D(dim=ubase, dim_mults=umults, channels=K,
                                    out_dim=K - 1, dtype=dtype)
                 self._unet_kind = "1d"
             else:
@@ -75,16 +80,20 @@ class VQDiffusionComposite:
                 sampling_timesteps=self.sampling_timesteps)
             # fuse posterior+gumbel-sample into one Pallas launch per reverse
             # step (ops/discrete_posterior_pallas.py; token-identical).
-            # Default ON: the measured winner on this chain (42.2 vs 41.5
-            # steps/s healthy-window, BENCHMARKS.md 2026-08-21); on CPU the
-            # kernel runs interpreted (token-identical, discrete.py:305-309).
-            self.prior.fused_posterior = dcfg.get("fused_posterior", True)
+            # Default ON on TPU only: the measured winner on this chain (42.2
+            # vs 41.5 steps/s healthy-window, BENCHMARKS.md 2026-08-21). On
+            # CPU the kernel would run interpreted (token-identical,
+            # discrete.py:305-309) but much slower than XLA, so CPU runs
+            # default to the XLA path unless explicitly requested.
+            import jax as _jax
+            self.prior.fused_posterior = dcfg.get(
+                "fused_posterior", _jax.default_backend() == "tpu")
         elif self.diffusion_type == "gaussiandiffusion2d":
             if self.indices_to_dist_fn == "one_hot":
                 ch = K if self.distribute_dim == 1 else N
             else:
                 ch = self.gaussian_dim if self.distribute_dim == 1 else N
-            self.unet = Unet1D(dim=64, dim_mults=(1, 2, 4, 8), channels=ch,
+            self.unet = Unet1D(dim=ubase, dim_mults=umults, channels=ch,
                                out_dim=ch, dtype=dtype)
             self._unet_kind = "1d"
             self.prior = GaussianDiffusion2D(
@@ -99,7 +108,7 @@ class VQDiffusionComposite:
         elif self.diffusion_type == "gaussiandiffusion3d":
             assert self.distribute_dim == -1
             self.unet = ShuffleUNet(self.timesteps, 256, 1, 1,
-                                    int(dcfg.get("base_dim", 64)), (1, 2, 4, 8),
+                                    int(dcfg.get("base_dim", ubase)), umults,
                                     dtype=dtype)
             self._unet_kind = "2d"
             self.prior = VQGaussianDiffusion3D(

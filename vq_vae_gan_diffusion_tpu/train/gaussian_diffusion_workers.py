@@ -56,8 +56,12 @@ class GaussianDiffusion2DWorker(BaseWorker):
         dcfg = config.architecture.gaussiandiffusion2d
         tr = config.trainer.gaussiandiffusion2d
         self.img_size = img_size
-        self.unet = Unet1D(dim=64, dim_mults=(1, 2, 4, 8), channels=img_size,
-                           out_dim=img_size, dtype=dtype)
+        # reference hardcodes dim 64 / (1,2,4,8) (unet2d.py); knobs let tiny
+        # CI/dryrun configs shrink the compile
+        self.unet = Unet1D(dim=int(dcfg.get("unet_base_dim", 64)),
+                           dim_mults=tuple(dcfg.get("unet_dim_mults",
+                                                    (1, 2, 4, 8))),
+                           channels=img_size, out_dim=img_size, dtype=dtype)
         self.process = GaussianDiffusion2D(
             GaussianDiffusion2DConfig(
                 seq_length=img_size, timesteps=int(dcfg.diffusion_steps),

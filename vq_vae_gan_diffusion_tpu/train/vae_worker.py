@@ -92,7 +92,9 @@ class VAEWorker(BaseWorker):
                                self.to_uint8(np.asarray(decoded))], axis=0)
         grid = make_grid(both, nrow=8)
         self.gif_frames.append(grid)
-        save_gif(self.gif_frames, os.path.join(self.run_dir, "reconstruction.gif"))
+        frames = list(self.gif_frames)  # gif re-encode off the hot path
+        self.submit_io(save_gif, frames,
+                       os.path.join(self.run_dir, "reconstruction.gif"))
 
     def sample(self, n_samples: int = 16, rng=None) -> np.ndarray:
         """z ~ N(0, I) → decoder (vaeWorker.py:179-207)."""
