@@ -224,10 +224,19 @@ def main() -> int:
     state, metrics = worker.train_multi_step(state, batches, rngs)  # compile
     float(np.asarray(metrics["vq_loss"]))
 
-    t0 = time.perf_counter()
-    state, metrics = worker.train_multi_step(state, batches, rngs)
-    float(np.asarray(metrics["vq_loss"]))  # sync
-    dt = time.perf_counter() - t0
+    # Min over several windows: the axon tunnel can stall for MINUTES and
+    # recover mid-process — a single timed window that straddles a stall
+    # records a mirage (observed 2026-08-21: 44 img/s with healthy probes on
+    # both sides of the run). A transient stall cannot make a window FASTER,
+    # so min-of-3 is robust; a healthy window costs ~1.2 s, so the retry is
+    # nearly free.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = worker.train_multi_step(state, batches, rngs)
+        float(np.asarray(metrics["vq_loss"]))  # sync
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     ips = BATCH * ITERS / dt / n_chips
 

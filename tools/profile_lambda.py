@@ -6,12 +6,16 @@ residual — the λ path runs a full extra encode plus (pre-r5) two separate
 decoder-tail VJPs per step (train/vqgan_worker.py). This times the SAME
 multi-step dispatch under three lambda_mode settings:
 
-  shared  one tail forward + two cotangent pulls via jax.vjp (r5 default)
-  grad2   two jax.grad calls re-running the tail forward (the r4 shape)
+  shared  one tail forward + two cotangent pulls via jax.vjp
+  grad2   two jax.grad calls re-running the tail forward (the DEFAULT —
+          measured fastest: XLA CSEs the duplicate tail forwards)
   off     λ pinned to 1.0 — no extra encode, no tail VJPs at all
 
-(off − shared) = the full remaining λ cost; (grad2 − shared) = what the
-shared-vjp change bought. Reference λ: network/vqvae/vqvae.py:155-180.
+(shared − off) / (grad2 − off) = the λ machinery's cost under each shape.
+Measured 2026-08-21 (baselines/lambda_attribution.json): grad2 11.450,
+shared 12.511, off 11.206 ms/step — λ costs 0.24 ms in the grad2 shape and
+the shared-vjp "optimization" is 1.06 ms slower, so grad2 stays the default.
+Reference λ: network/vqvae/vqvae.py:155-180.
 
 Usage: python tools/profile_lambda.py [--iters 50] [--windows 5]
 """
