@@ -214,6 +214,9 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
                     cache, batch_size, mean=prep.mean, std=prep.std,
                     shuffle=shuffle, drop_last=train, seed=seed,
                     max_samples=max_samples, **aug)
+                # deterministic (un-augmented) epochs may be cached on device
+                # by BaseWorker.train (trainer.device_data_cache)
+                loader.cacheable = not augment
                 logger.info("native loader: %d samples (%d batches)%s",
                             loader.n, len(loader),
                             " [native augmentation]" if augment else "")
@@ -224,6 +227,9 @@ def load_dataloader(name: Optional[str] = None, split: str = "train",
     loader = DataLoader(dataset, batch_size, prep, shuffle=shuffle,
                         drop_last=train, seed=seed, num_threads=num_threads,
                         max_samples=max_samples)
+    # deterministic (un-augmented) epochs may be cached on device by
+    # BaseWorker.train (trainer.device_data_cache)
+    loader.cacheable = not augment
     logger.info("Number of %s samples: %d (batch %d, %d batches)",
                 split, loader.n, batch_size, len(loader))
     return loader, dataset

@@ -84,17 +84,21 @@ class VAEWorker(BaseWorker):
         return self._train_step(state, batch, rng)
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:
+        # device-side compute only; readback is batched per epoch and the
+        # gif encode runs on the IO thread (see BaseWorker.queue_artifact)
         imgs = batch[:8]
         recon = self.jit_cached("recon", lambda p, x: self.model.apply(
             {"params": p}, x, jax.random.PRNGKey(0))[0])
         decoded = recon(self.state.params, jnp.asarray(imgs))
-        both = np.concatenate([self.to_uint8(np.asarray(imgs)),
-                               self.to_uint8(np.asarray(decoded))], axis=0)
-        grid = make_grid(both, nrow=8)
-        self.gif_frames.append(grid)
-        frames = list(self.gif_frames)  # gif re-encode off the hot path
-        self.submit_io(save_gif, frames,
-                       os.path.join(self.run_dir, "reconstruction.gif"))
+
+        def write(fetched):
+            imgs_np, dec_np = fetched
+            both = np.concatenate([self.to_uint8(imgs_np),
+                                   self.to_uint8(dec_np)], axis=0)
+            self.gif_frames.append(make_grid(both, nrow=8))
+            save_gif(self.gif_frames,
+                     os.path.join(self.run_dir, "reconstruction.gif"))
+        self.queue_artifact((imgs, decoded), write)
 
     def sample(self, n_samples: int = 16, rng=None) -> np.ndarray:
         """z ~ N(0, I) → decoder (vaeWorker.py:179-207)."""

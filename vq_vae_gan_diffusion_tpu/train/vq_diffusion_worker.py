@@ -165,11 +165,17 @@ class VQDiffusionWorker(BaseWorker):
         return self._train_step(state, batch, rng)
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:
+        # device-side compute only; readback batched per epoch, file write on
+        # the IO thread (BaseWorker.queue_artifact)
         logs = self.composite.log_images(self.state.unet_params,
                                          self.state.vq_params, jnp.asarray(batch))
-        rows = [self.to_uint8(np.asarray(logs[k])) for k in ("input", "rec")]
-        save_image(make_grid(np.concatenate(rows, 0), nrow=4),
-                   os.path.join(self.run_dir, f"recon_epoch{epoch}_{index}.jpg"))
+
+        def write(fetched):
+            rows = [self.to_uint8(fetched[k]) for k in ("input", "rec")]
+            save_image(make_grid(np.concatenate(rows, 0), nrow=4),
+                       os.path.join(self.run_dir,
+                                    f"recon_epoch{epoch}_{index}.jpg"))
+        self.queue_artifact(logs, write)
 
     def generate_images(self, val_loader=None, n_samples: int = 16, epoch: int = 0):
         indices = self._sample(self.state.ema_params, self.state.ema_batch_stats,

@@ -141,14 +141,20 @@ class VQTransformerWorker(BaseWorker):
         return self._train_step(state, batch, rng)
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:
+        # device-side compute only; readback batched per epoch, file/TB
+        # writes on the IO thread (BaseWorker.queue_artifact)
         logs = self.composite.log_images(self.state.gpt_params, self.state.vq_params,
                                          jnp.asarray(batch[:4]), self.next_rng())
-        rows = [self.to_uint8(np.asarray(logs[k]))
-                for k in ("input", "rec", "half_sample", "full_sample")]
-        grid = make_grid(np.concatenate(rows, axis=0), nrow=4)
-        save_image(grid, os.path.join(self.run_dir,
-                                      f"transformer_epoch{epoch}_{index}.jpg"))
-        self.metrics.write_image(self.global_step, "samples", grid)
+        step = self.global_step
+
+        def write(fetched):
+            rows = [self.to_uint8(fetched[k])
+                    for k in ("input", "rec", "half_sample", "full_sample")]
+            grid = make_grid(np.concatenate(rows, axis=0), nrow=4)
+            save_image(grid, os.path.join(self.run_dir,
+                                          f"transformer_epoch{epoch}_{index}.jpg"))
+            self.metrics.write_image(step, "samples", grid)
+        self.queue_artifact(logs, write)
 
     def generate_images(self, val_loader=None, n_samples: int = 16, epoch: int = 0):
         indices = self._sample(self.state.gpt_params, self.next_rng(), n_samples)

@@ -331,21 +331,22 @@ class VQGANVQVAEWorker(BaseWorker):
         return self._reconstruct_jit(self.state.vqvae_params, jnp.asarray(imgs))
 
     def log_artifacts(self, batch, epoch: int, index: int) -> None:
+        # device-side compute only; the readback happens in the epoch's ONE
+        # batched device_get, and grid/gif/TB encode on the IO thread
         imgs = batch[:8]
         decoded = self.reconstruct(imgs)
-        both = np.concatenate([self.to_uint8(np.asarray(imgs)),
-                               self.to_uint8(np.asarray(decoded))], axis=0)
-        grid = make_grid(both, nrow=8)
-        self.gif_frames.append(grid)
-        # gif re-encode + TB write happen on the IO thread; the device keeps
-        # training (the only sync above is the 8-image decoded readback)
-        frames = list(self.gif_frames)
         step = self.global_step
 
-        def write():
-            save_gif(frames, os.path.join(self.run_dir, "reconstruction.gif"))
+        def write(fetched):
+            imgs_np, dec_np = fetched
+            both = np.concatenate([self.to_uint8(imgs_np),
+                                   self.to_uint8(dec_np)], axis=0)
+            grid = make_grid(both, nrow=8)
+            self.gif_frames.append(grid)  # IO thread is the only mutator
+            save_gif(self.gif_frames,
+                     os.path.join(self.run_dir, "reconstruction.gif"))
             self.metrics.write_image(step, "reconstruction", grid)
-        self.submit_io(write)
+        self.queue_artifact((imgs, decoded), write)
 
     def generate_images(self, val_loader=None, n_samples: int = 16, epoch: int = 0):
         if val_loader is None:
